@@ -1,0 +1,9 @@
+"""Test env: force CPU with 8 virtual devices so Mesh/pjit collectives are
+exercised without TPU hardware (the standard JAX idiom — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
