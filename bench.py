@@ -1,0 +1,123 @@
+"""Benchmark: whole-scene tiled change-detection inference throughput.
+
+Metric (BASELINE.json): Mpx/sec/chip for large-scale whole-scene inference —
+tile a (SIZE x SIZE x 13)-band bi-date scene pair into patches, run the
+Siamese BiDateNet on every tile pair, stitch the change mask.  This is the
+reference's headline workload ("Large scale inference", README.md:10-11,
+utils/inference.py), run through fabric_tpu's on-device pipeline
+(fabric_tpu/infer/device_tiling.py): tiling, batched bf16 forward, and
+stitching all inside one jit — scenes stay device-resident, as in a
+steady-state serving pipeline where scene upload overlaps compute.
+
+Baseline (vs_baseline denominator): the reference publishes no numbers
+(BASELINE.md), so we estimate its per-P100 throughput analytically:
+BiDateNet is ~11.1 GFLOP per 90x90 tile pair (conv MACs x2, counted from
+the layer plan) = ~1.37 MFLOP/px; a P100 at 9.3 TFLOP/s fp32 and a
+generous 35% cuDNN utilization gives ~3.3 TFLOP/s => ~2.4 Mpx/s per GPU,
+ignoring the reference's host-side tiling/stitching and per-batch transfer
+overheads (train.py:187-201).  vs_baseline = ours_per_chip / 2.4.
+
+Usage: python bench.py [--size 4096] [--patch 96] [--batch 64]
+                       [--iters 3] [--overlap 0] [--mode device|host]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPX_PER_SEC = 2.4  # estimated reference per-P100 rate (see above)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--patch", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--overlap", type=int, default=0)
+    ap.add_argument("--mode", choices=["device", "host"], default="device")
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from fabric_tpu.config import Config
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+
+    cfg = Config(dtype=args.dtype, patch_size=args.patch,
+                 eval_batch_size=args.batch)
+    model = build_model(cfg)
+    state = create_state(cfg, model, sample_shape=(args.patch, args.patch))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    rng = np.random.RandomState(0)
+    shape = (args.size, args.size, 13)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    d1 = jax.device_put(jnp.asarray(rng.randn(*shape), dt))
+    d2 = jax.device_put(jnp.asarray(rng.randn(*shape), dt))
+
+    if args.mode == "device":
+        from fabric_tpu.infer.device_tiling import make_scene_infer
+        run = make_scene_infer(model, args.patch, (args.size, args.size),
+                               batch_size=args.batch, overlap=args.overlap,
+                               dtype=dt)
+        # NOTE: block_until_ready is unreliable over the axon tunnel; force
+        # completion with a tiny D2H reduction instead.
+        def sync(mask):
+            return np.asarray(jnp.sum(mask.astype(jnp.int32)))
+
+        t0 = time.time()
+        mask = run(variables, d1, d2)
+        sync(mask)
+        compile_and_first = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.iters):
+            mask = run(variables, d1, d2)
+        sync(mask)
+        elapsed = (time.time() - t0) / args.iters
+    else:
+        from fabric_tpu.infer.runner import predict_scene
+        from fabric_tpu.train.steps import make_infer_step, make_infer_probs_step
+        h1, h2 = np.asarray(d1, np.float32), np.asarray(d2, np.float32)
+        istep, pstep = make_infer_step(model), make_infer_probs_step(model)
+        t0 = time.time()
+        mask = predict_scene(istep, state, h1, h2, args.patch, args.batch,
+                             overlap=args.overlap, prob_step=pstep)
+        compile_and_first = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.iters):
+            mask = predict_scene(istep, state, h1, h2, args.patch,
+                                 args.batch, overlap=args.overlap,
+                                 prob_step=pstep)
+        elapsed = (time.time() - t0) / args.iters
+
+    mpx_per_sec = (args.size * args.size) / elapsed / 1e6
+    n_chips = 1  # bench runs single-chip; the mesh path scales over ICI
+    result = {
+        "metric": "whole_scene_inference_throughput",
+        "value": round(mpx_per_sec / n_chips, 3),
+        "unit": "Mpx/sec/chip",
+        "vs_baseline": round(mpx_per_sec / n_chips / BASELINE_MPX_PER_SEC, 3),
+        "detail": {
+            "scene": f"{args.size}x{args.size}x13 bi-date",
+            "patch": args.patch, "batch": args.batch,
+            "overlap": args.overlap, "mode": args.mode,
+            "dtype": args.dtype, "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "compile_plus_first_s": round(compile_and_first, 3),
+            "steady_state_s_per_scene": round(elapsed, 4),
+            "baseline_note": "est. reference P100 rate 2.4 Mpx/s (see docstring)",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Checkpointing with real resume.
+
+The reference only *saves* (whole-module pickle on any P/R/F1 improvement,
+train.py:210-228) and has no load path at all (utils/helpers.py:317-337) —
+training always restarts from scratch.  Here: msgpack serialization of
+{params, batch_stats, opt_state, step} via flax.serialization, a JSON
+metadata sidecar (mirroring the reference's ``metadata_epoch_N.json``), a
+``latest``/``best`` pointer scheme, and ``restore``/``latest_checkpoint``
+for resume.  Dependency-free (no orbax) so checkpoints remain portable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(state, directory: str, epoch: int, metadata: dict | None = None,
+         tag: str = "checkpoint") -> str:
+    """Write ``<dir>/<tag>_epoch_<N>.msgpack`` (+ ``.json`` sidecar)."""
+    os.makedirs(directory, exist_ok=True)
+    payload = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+    }
+    path = os.path.join(directory, f"{tag}_epoch_{epoch}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fout:
+        # to_bytes = to_state_dict (tuples/namedtuples -> dicts) + msgpack
+        fout.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
+    meta = dict(metadata or {})
+    meta.update({"epoch": epoch, "step": int(state.step)})
+    with open(os.path.join(directory, f"metadata_epoch_{epoch}.json"), "w") as fout:
+        json.dump(meta, fout, indent=2, default=float)
+    return path
+
+
+def restore(state, path: str):
+    """Load a checkpoint file into an existing (template) TrainState."""
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": 0,
+    }
+    with open(path, "rb") as fin:
+        payload = serialization.from_bytes(target, fin.read())
+    return state.replace(params=payload["params"],
+                         batch_stats=payload["batch_stats"],
+                         opt_state=payload["opt_state"],
+                         step=int(payload["step"]))
+
+
+def latest_checkpoint(directory: str, tag: str = "checkpoint") -> str | None:
+    """Highest-epoch checkpoint path in a directory, or None."""
+    if not os.path.isdir(directory):
+        return None
+    pat = re.compile(rf"{re.escape(tag)}_epoch_(\d+)\.msgpack$")
+    best, best_epoch = None, -1
+    for name in os.listdir(directory):
+        m = pat.match(name)
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = os.path.join(directory, name), int(m.group(1))
+    return best
+
+
+def resume_if_requested(cfg, state):
+    """Honor cfg.resume: '' → fresh; a file → load it; a dir → load latest.
+    Returns (state, resumed_epoch) where resumed_epoch is -1 when fresh."""
+    target = getattr(cfg, "resume", "")
+    if not target:
+        return state, -1
+    path = target
+    if os.path.isdir(target):
+        path = latest_checkpoint(target)
+        if path is None:
+            return state, -1
+    epoch = -1
+    m = re.search(r"_epoch_(\d+)\.msgpack$", path)
+    if m:
+        epoch = int(m.group(1))
+    return restore(state, path), epoch

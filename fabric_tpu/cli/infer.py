@@ -1,0 +1,59 @@
+"""``python -m fabric_tpu.cli.infer --config metadata.json --resume <ckpt>
+[--city <name> ...]``
+
+Standalone whole-scene inference: loads a checkpoint, tiles each requested
+city scene (default: validation_cities), predicts, and writes
+``<city>_mask.png`` change rasters — the reference only offered this inside
+the training loop (train.py:177-205).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    argv = sys.argv[1:] if argv is None else argv
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--city", action="append", default=None)
+    extra.add_argument("--output_dir", type=str, default=".")
+    own, rest = extra.parse_known_args(argv)
+
+    from fabric_tpu.config import load_config
+    from fabric_tpu import checkpoint as ckpt
+    from fabric_tpu.infer.runner import infer_city
+    from fabric_tpu.models import build_model
+    from fabric_tpu.parallel.mesh import make_mesh_from_config
+    from fabric_tpu.train.state import create_state
+    from fabric_tpu.train.steps import make_infer_step, make_infer_probs_step
+    from fabric_tpu.utils.image import write_png
+
+    cfg = load_config(argv=rest)
+    if not cfg.resume:
+        print("error: --resume <checkpoint> is required", file=sys.stderr)
+        return 2
+    mesh = make_mesh_from_config(cfg)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    state, _ = ckpt.resume_if_requested(cfg, state)
+    infer_step = make_infer_step(model)
+    prob_step = make_infer_probs_step(model)
+
+    cities = own.city or cfg.validation_cities
+    os.makedirs(own.output_dir, exist_ok=True)
+    for city in cities:
+        mask = infer_city(infer_step, state, cfg, city, mesh=mesh,
+                          prob_step=prob_step)
+        out = os.path.join(own.output_dir, f"{city}_mask.png")
+        write_png(out, mask * 255)
+        logging.info("wrote %s (%dx%d, %.2f%% change)", out,
+                     mask.shape[0], mask.shape[1], 100.0 * mask.mean())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,138 @@
+"""Patch sampling, augmentation, batching, and device prefetch.
+
+Replaces the reference's OneraPreloader + torch DataLoader stack
+(utils/dataloaders.py:148-198, utils/helpers.py:211-258) with a host-side
+numpy pipeline feeding a device-prefetch queue:
+
+- ``PatchSampler`` crops (2, ps, ps, 13) windows from the in-RAM city cache
+  and applies the reference augmentations (random rot90 k∈0..3 + independent
+  H/V flips, dataloaders.py:148-165).
+- ``batch_iterator`` yields fixed-shape batches.  jit recompiles per shape,
+  so instead of the reference's ragged final batch we either wrap-pad the
+  shuffled index list (train: a few head samples repeat) or mask-pad
+  (eval: a per-sample ``weight`` vector zeroes the padding in loss/metrics).
+- ``prefetch_to_device`` overlaps host batch assembly + H2D copy with device
+  compute via a background thread (the reference's num_workers analogue).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class PatchSampler:
+    """Crops + augments patches from the full in-RAM dataset dict."""
+
+    def __init__(self, dataset: dict, metadata: list, patch_size: int,
+                 augment: bool, seed: int = 0):
+        self.dataset = dataset
+        self.metadata = list(metadata)
+        self.patch_size = patch_size
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+    def sample(self, index: int):
+        """(img_d1 (ps,ps,13), img_d2 (ps,ps,13), label (ps,ps))."""
+        city, x, y = self.metadata[index]
+        s = self.patch_size
+        entry = self.dataset[city]
+        img = entry["images"][:, x:x + s, y:y + s, :]
+        lbl = entry["labels"][x:x + s, y:y + s]
+        if self.augment:
+            k = self.rng.randint(0, 4)
+            if k:
+                img = np.rot90(img, k, axes=(1, 2))
+                lbl = np.rot90(lbl, k, axes=(0, 1))
+            if self.rng.rand() > 0.5:
+                img = np.flip(img, axis=1)
+                lbl = np.flip(lbl, axis=0)
+            if self.rng.rand() > 0.5:
+                img = np.flip(img, axis=2)
+                lbl = np.flip(lbl, axis=1)
+        return (np.ascontiguousarray(img[0]), np.ascontiguousarray(img[1]),
+                np.ascontiguousarray(lbl))
+
+
+def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
+                   pad_mode: str = "wrap", seed: int = 0,
+                   max_batches: int = 0) -> Iterator[dict]:
+    """Yield {'img1','img2','label','weight'} numpy batches of fixed shape.
+
+    pad_mode 'wrap': short remainder is filled with wrapped-around samples,
+    weight=1 everywhere (training).  pad_mode 'mask': remainder filled with
+    repeats but weight=0 so losses/metrics ignore them (eval).
+    """
+    n = len(sampler)
+    if n == 0:
+        return
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    pad = (-n) % batch_size
+    weights = np.ones(n + pad, np.float32)
+    if pad:
+        order = np.concatenate([order, order[:pad]])
+        if pad_mode == "mask":
+            weights[n:] = 0.0
+    num_batches = len(order) // batch_size
+    if max_batches:
+        num_batches = min(num_batches, max_batches)
+    ps = sampler.patch_size
+    for b in range(num_batches):
+        idx = order[b * batch_size:(b + 1) * batch_size]
+        img1 = np.empty((batch_size, ps, ps, 13), np.float32)
+        img2 = np.empty_like(img1)
+        label = np.empty((batch_size, ps, ps), np.int32)
+        for row, i in enumerate(idx):
+            a, c, l = sampler.sample(int(i))
+            img1[row], img2[row], label[row] = a, c, l
+        yield {"img1": img1, "img2": img2, "label": label,
+               "weight": weights[b * batch_size:(b + 1) * batch_size].copy()}
+
+
+def prefetch_to_device(iterator: Iterator[dict], size: int = 2,
+                       sharding=None) -> Iterator[dict]:
+    """Background-thread prefetch + jax.device_put.
+
+    ``sharding`` may be a jax Sharding (or pytree of them) to place batches
+    directly into their mesh layout, avoiding a host round trip under pjit.
+    """
+    import jax
+
+    if size <= 0:
+        for item in iterator:
+            yield jax.device_put(item, sharding) if sharding is not None \
+                else jax.device_put(item)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def producer():
+        try:
+            for item in iterator:
+                out = (jax.device_put(item, sharding) if sharding is not None
+                       else jax.device_put(item))
+                q.put(out)
+        except BaseException as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -1,0 +1,120 @@
+"""On-device whole-scene inference: tile, predict, and stitch inside ONE jit.
+
+The reference's whole-scene path (train.py:182-205 + utils/inference.py)
+round-trips every tile batch host→device and stitches in numpy.  On TPU the
+bottleneck is exactly those transfers and host loops, so this module moves
+the entire pipeline into XLA:
+
+  scene (H, W, 13) --one H2D--> [gather tiles -> lax.map batched forward ->
+  scatter-stitch] --one D2H--> (H, W) uint8 mask
+
+Tile positions replicate the reference grid exactly (stride=patch grid plus
+remainder row/column/corner anchored at the far edge, inference.py:134-181);
+writing tiles in row-major position order reproduces the reference's
+paste-then-overwrite precedence (inference.py:184-236).  An overlap-averaged
+mode accumulates change-class probabilities with scatter-add instead.
+
+Everything is static-shaped: one compilation per (H, W, patch) bucket.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _axis_positions(size: int, patch: int, stride: int) -> np.ndarray:
+    """Reference-style positions: stride grid + final edge-anchored stop."""
+    pos = list(range(0, size - patch + 1, stride))
+    if pos[-1] != size - patch:
+        pos.append(size - patch)
+    return np.asarray(pos, np.int32)
+
+
+def _gather_tiles(scene: jax.Array, ys: np.ndarray, xs: np.ndarray,
+                  patch: int) -> jax.Array:
+    """(K, patch, patch, C) tiles from (H, W, C), K = len(ys)*len(xs)."""
+    row_idx = ys[:, None] + np.arange(patch)[None, :]      # (ny, p)
+    col_idx = xs[:, None] + np.arange(patch)[None, :]      # (nx, p)
+    rows = scene[row_idx.reshape(-1)]                      # (ny*p, W, C)
+    rows = rows.reshape(len(ys), patch, *scene.shape[1:])  # (ny, p, W, C)
+    tiles = rows[:, :, col_idx.reshape(-1), :]             # (ny, p, nx*p, C)
+    tiles = tiles.reshape(len(ys), patch, len(xs), patch, -1)
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(-1, patch, patch,
+                                                  scene.shape[-1])
+
+
+def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
+                     batch_size: int = 32, overlap: int = 0,
+                     dtype=jnp.bfloat16):
+    """Build a jitted ``(variables, scene1, scene2) -> (H, W) mask`` fn.
+
+    overlap == 0: reference-exact grid + overwrite stitching, argmax preds.
+    overlap > 0: stride = patch - overlap, probability scatter-add average,
+    threshold 0.5.
+    """
+    h, w = scene_shape
+    stride = patch - overlap if overlap else patch
+    ys = _axis_positions(h, patch, stride)
+    xs = _axis_positions(w, patch, stride)
+    k = len(ys) * len(xs)
+    pad = (-k) % batch_size
+    n_chunks = (k + pad) // batch_size
+    # per-tile top-left corners, row-major over (ys, xs)
+    origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),
+                       axis=-1).reshape(-1, 2)
+    origins = np.concatenate(
+        [origins, np.zeros((pad, 2), np.int32)]).astype(np.int32)
+
+    def forward(variables, t1, t2):
+        logits = model.apply(variables, t1, t2, train=False)
+        if overlap:
+            return jax.nn.softmax(logits, axis=-1)[..., 1]
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    @jax.jit
+    def run(variables, scene1, scene2):
+        t1 = _gather_tiles(scene1.astype(dtype), ys, xs, patch)
+        t2 = _gather_tiles(scene2.astype(dtype), ys, xs, patch)
+        if pad:
+            zeros = jnp.zeros((pad, patch, patch, t1.shape[-1]), t1.dtype)
+            t1 = jnp.concatenate([t1, zeros])
+            t2 = jnp.concatenate([t2, zeros])
+        t1 = t1.reshape(n_chunks, batch_size, patch, patch, -1)
+        t2 = t2.reshape(n_chunks, batch_size, patch, patch, -1)
+        outs = jax.lax.map(lambda ab: forward(variables, *ab), (t1, t2))
+        outs = outs.reshape(-1, patch, patch)[:k + pad]
+
+        if overlap:
+            acc0 = jnp.zeros((h, w), jnp.float32)
+            cnt0 = jnp.zeros((h, w), jnp.float32)
+            ones = jnp.ones((patch, patch), jnp.float32)
+
+            def add(carry, inp):
+                acc, cnt = carry
+                tile, org = inp
+                y, x = org[0], org[1]
+                cur = jax.lax.dynamic_slice(acc, (y, x), (patch, patch))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + tile.astype(jnp.float32), (y, x))
+                curc = jax.lax.dynamic_slice(cnt, (y, x), (patch, patch))
+                cnt = jax.lax.dynamic_update_slice(cnt, curc + ones, (y, x))
+                return (acc, cnt), None
+
+            (acc, cnt), _ = jax.lax.scan(
+                add, (acc0, cnt0), (outs[:k], jnp.asarray(origins[:k])))
+            return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
+
+        canvas = jnp.zeros((h, w), jnp.uint8)
+
+        def paste(canvas, inp):
+            tile, org = inp
+            return jax.lax.dynamic_update_slice(
+                canvas, tile, (org[0], org[1])), None
+
+        canvas, _ = jax.lax.scan(
+            paste, canvas, (outs[:k], jnp.asarray(origins[:k])))
+        return canvas
+
+    return run

@@ -48,31 +48,48 @@ def _reduce_axes(labels_ndim: int, compat_reference: bool) -> tuple[int, ...]:
     return tuple(range(labels_ndim))  # (0, 1, 2) for (N, H, W) labels
 
 
+def _pixel_weights(labels: Array, sample_weights: Array | None) -> Array | None:
+    """Broadcast per-sample weights (N,) to per-pixel (N, H, W...)."""
+    if sample_weights is None:
+        return None
+    w = jnp.asarray(sample_weights, jnp.float32)
+    return w.reshape(w.shape + (1,) * (labels.ndim - 1))
+
+
 def cross_entropy_loss(logits: Array, labels: Array,
-                       class_weights: Array | None = None) -> Array:
+                       class_weights: Array | None = None,
+                       weights: Array | None = None) -> Array:
     """Mean (optionally class-weighted) softmax cross-entropy.
 
     This is the repaired semantics of the reference's 'bce' option
     (utils/helpers.py:304 is unusable with the model's 2-class logits).
+    ``weights`` is an optional per-sample (N,) weight vector — 0 excludes a
+    padded sample exactly.
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
     ll = ll[..., 0]
+    w = jnp.ones_like(ll)
     if class_weights is not None:
-        w = jnp.asarray(class_weights, jnp.float32)[labels]
-        return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1e-7)
-    return -jnp.mean(ll)
+        w = w * jnp.asarray(class_weights, jnp.float32)[labels]
+    pw = _pixel_weights(labels, weights)
+    if pw is not None:
+        w = w * pw
+    return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1e-7)
 
 
 def weighted_bce_loss(logits: Array, labels: Array,
-                      pos_weight: float = 1.0) -> Array:
+                      pos_weight: float = 1.0,
+                      weights: Array | None = None) -> Array:
     """Softmax cross-entropy with extra weight on the change class (label 1)."""
-    weights = jnp.array([1.0, float(pos_weight)], jnp.float32)
-    return cross_entropy_loss(logits, labels, class_weights=weights)
+    class_weights = jnp.array([1.0, float(pos_weight)], jnp.float32)
+    return cross_entropy_loss(logits, labels, class_weights=class_weights,
+                              weights=weights)
 
 
 def focal_loss(logits: Array, labels: Array, gamma: float = 2.0,
-               alpha: float | tuple | None = None) -> Array:
+               alpha: float | tuple | None = None,
+               weights: Array | None = None) -> Array:
     """Focal loss, matching utils/metrics.py:8-48.
 
     ``-(1 - pt)^gamma * log(pt)`` with optional per-class ``alpha`` weighting
@@ -92,29 +109,44 @@ def focal_loss(logits: Array, labels: Array, gamma: float = 2.0,
             at = jnp.asarray(alpha, jnp.float32)[flat_labels]
         logpt = logpt * at
     loss = -((1.0 - pt) ** gamma) * logpt
+    if weights is not None:
+        pw = jnp.repeat(jnp.asarray(weights, jnp.float32),
+                        loss.shape[0] // weights.shape[0])
+        return jnp.sum(loss * pw) / jnp.maximum(jnp.sum(pw), 1e-7)
     return jnp.mean(loss)
 
 
-def _soft_counts(logits: Array, labels: Array, compat_reference: bool):
+def _soft_counts(logits: Array, labels: Array, compat_reference: bool,
+                 weights: Array | None):
     probs, onehot = _probs_onehot(logits, labels)
+    pw = _pixel_weights(labels, weights)
+    if pw is not None:
+        # zeroing both probs and onehot makes a weight-0 sample contribute
+        # nothing to intersection, fps, or fns
+        probs = probs * pw[..., None]
+        onehot = onehot * pw[..., None]
     axes = _reduce_axes(labels.ndim, compat_reference)
     intersection = jnp.sum(probs * onehot, axis=axes)
     return probs, onehot, axes, intersection
 
 
 def dice_loss(logits: Array, labels: Array, eps: float = 1e-7,
-              compat_reference: bool = False) -> Array:
+              compat_reference: bool = False,
+              weights: Array | None = None) -> Array:
     """Soft Sørensen–Dice loss (utils/metrics.py:51-83)."""
-    probs, onehot, axes, intersection = _soft_counts(logits, labels, compat_reference)
+    probs, onehot, axes, intersection = _soft_counts(
+        logits, labels, compat_reference, weights)
     cardinality = jnp.sum(probs + onehot, axis=axes)
     dice = jnp.mean(2.0 * intersection / (cardinality + eps))
     return 1.0 - dice
 
 
 def jaccard_loss(logits: Array, labels: Array, eps: float = 1e-7,
-                 compat_reference: bool = False) -> Array:
+                 compat_reference: bool = False,
+                 weights: Array | None = None) -> Array:
     """Soft IoU/Jaccard loss (utils/metrics.py:86-119)."""
-    probs, onehot, axes, intersection = _soft_counts(logits, labels, compat_reference)
+    probs, onehot, axes, intersection = _soft_counts(
+        logits, labels, compat_reference, weights)
     cardinality = jnp.sum(probs + onehot, axis=axes)
     union = cardinality - intersection
     jacc = jnp.mean(intersection / (union + eps))
@@ -123,14 +155,16 @@ def jaccard_loss(logits: Array, labels: Array, eps: float = 1e-7,
 
 def tversky_loss(logits: Array, labels: Array, alpha: float = 0.5,
                  beta: float = 0.5, eps: float = 1e-7,
-                 compat_reference: bool = False) -> Array:
+                 compat_reference: bool = False,
+                 weights: Array | None = None) -> Array:
     """Soft Tversky loss (utils/metrics.py:122-171).
 
     ``alpha`` penalizes false positives, ``beta`` false negatives;
     alpha=beta=0.5 reduces to dice.  The reference default config uses
     alpha=0.1, beta=0.9 (metadata.json:42-44) — heavily recall-weighted.
     """
-    probs, onehot, axes, intersection = _soft_counts(logits, labels, compat_reference)
+    probs, onehot, axes, intersection = _soft_counts(
+        logits, labels, compat_reference, weights)
     fps = jnp.sum(probs * (1.0 - onehot), axis=axes)
     fns = jnp.sum((1.0 - probs) * onehot, axis=axes)
     denom = intersection + alpha * fps + beta * fns

@@ -23,16 +23,27 @@ import numpy as np
 Array = jax.Array
 
 
-def confusion_counts(preds: Array, labels: Array) -> dict[str, Array]:
-    """tp/fp/fn/tn for the binary change class (1). Jittable; int32 scalars."""
+def confusion_counts(preds: Array, labels: Array,
+                     weights: Array | None = None) -> dict[str, Array]:
+    """tp/fp/fn/tn for the binary change class (1). Jittable; int32 scalars.
+
+    ``weights`` is an optional per-sample (N,) vector; samples with weight 0
+    (mask-padded eval batches) are excluded from every count.
+    """
     p = preds.astype(jnp.int32)
     l = labels.astype(jnp.int32)  # noqa: E741
     pp = p == 1
     pl = l == 1
-    tp = jnp.sum(pp & pl, dtype=jnp.int32)
-    fp = jnp.sum(pp & ~pl, dtype=jnp.int32)
-    fn = jnp.sum(~pp & pl, dtype=jnp.int32)
-    tn = jnp.sum(~pp & ~pl, dtype=jnp.int32)
+    if weights is not None:
+        valid = (jnp.asarray(weights) > 0).reshape(
+            weights.shape + (1,) * (labels.ndim - 1))
+        valid = jnp.broadcast_to(valid, labels.shape)
+    else:
+        valid = jnp.ones(labels.shape, bool)
+    tp = jnp.sum(pp & pl & valid, dtype=jnp.int32)
+    fp = jnp.sum(pp & ~pl & valid, dtype=jnp.int32)
+    fn = jnp.sum(~pp & pl & valid, dtype=jnp.int32)
+    tn = jnp.sum(~pp & ~pl & valid, dtype=jnp.int32)
     return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
 
 

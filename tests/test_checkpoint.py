@@ -1,0 +1,69 @@
+"""Checkpoint save/restore/resume tests (the reference has no resume path
+at all — utils/helpers.py:317-337)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fabric_tpu import checkpoint as ckpt
+from fabric_tpu.config import Config
+from fabric_tpu.models import build_model
+from fabric_tpu.train.state import create_state
+
+
+def _small_cfg(tmp, **kw):
+    return Config(patch_size=16, dtype="float32", weight_dir=str(tmp),
+                  **kw)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    path = ckpt.save(state, str(tmp_path), epoch=3,
+                     metadata={"validation_metrics": {"cd_f1scores": 0.5}})
+    # perturb, then restore into the perturbed template
+    perturbed = state.replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, state.params),
+        step=999)
+    restored = ckpt.restore(perturbed, path)
+    orig = jax.tree_util.tree_leaves(state.params)
+    back = jax.tree_util.tree_leaves(restored.params)
+    assert all(np.allclose(a, b) for a, b in zip(orig, back))
+    assert restored.step == int(state.step)
+
+
+def test_latest_checkpoint_and_resume(tmp_path):
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    ckpt.save(state, str(tmp_path), epoch=0)
+    state2 = state.replace(step=42)
+    ckpt.save(state2, str(tmp_path), epoch=5)
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("checkpoint_epoch_5.msgpack")
+
+    cfg_resume = _small_cfg(tmp_path, resume=str(tmp_path))
+    fresh = create_state(cfg_resume, model)
+    resumed, epoch = ckpt.resume_if_requested(cfg_resume, fresh)
+    assert epoch == 5 and resumed.step == 42
+
+
+def test_resume_empty_dir_is_fresh(tmp_path):
+    cfg = _small_cfg(tmp_path, resume=str(tmp_path / "nope"))
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    (tmp_path / "nope").mkdir()
+    resumed, epoch = ckpt.resume_if_requested(cfg, state)
+    assert epoch == -1
+
+
+def test_metadata_sidecar_written(tmp_path):
+    import json, os
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    ckpt.save(state, str(tmp_path), epoch=2, metadata={"loss_function": "dice"})
+    with open(os.path.join(str(tmp_path), "metadata_epoch_2.json")) as fin:
+        meta = json.load(fin)
+    assert meta["epoch"] == 2 and meta["loss_function"] == "dice"

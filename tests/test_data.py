@@ -1,0 +1,121 @@
+"""Data layer tests: patch grid semantics, city loading + normalization,
+sampler augmentation, fixed-shape batching, prefetch."""
+
+import numpy as np
+import pytest
+
+from fabric_tpu.config import Config
+from fabric_tpu.data import (
+    list_cities, patch_grid, get_train_val_metadata, load_label, load_city,
+    full_load, PatchSampler, batch_iterator, prefetch_to_device,
+)
+from fabric_tpu.data.synthetic import generate_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oscd"))
+    cfg = Config()
+    generate_synthetic_dataset(root, cfg)
+    return root
+
+
+def test_patch_grid_matches_reference_semantics():
+    # reference: range(0, shape, stride) with i+ps <= shape bound
+    # (dataloaders.py:60-66)
+    coords = patch_grid((200, 150), patch_size=90, stride=60)
+    expected = [(i, j) for i in range(0, 200, 60) for j in range(0, 150, 60)
+                if i + 90 <= 200 and j + 90 <= 150]
+    assert coords == expected
+    assert coords == [(0, 0), (0, 60), (60, 0), (60, 60)]
+
+
+def test_list_cities_sorted(dataset_dir):
+    assert list_cities(dataset_dir) == ["alpha", "beta", "gamma"]
+
+
+def test_load_label_binary(dataset_dir):
+    lab = load_label(dataset_dir, "alpha")
+    assert lab.dtype == np.uint8
+    assert set(np.unique(lab)) <= {0, 1}
+    assert lab.shape == (97, 113)
+
+
+def test_load_city_normalized_nhwc(dataset_dir):
+    cfg = Config()
+    img = load_city(dataset_dir, "alpha", cfg)
+    assert img.shape == (2, 97, 113, 13)
+    assert img.dtype == np.float32
+    # synthetic bands are N(mean, std) per band, so normalized ~ N(0,1)
+    assert abs(float(img[0].mean())) < 0.3
+    assert 0.5 < float(img[0].std()) < 1.5
+
+
+def test_load_city_resize_to_override(dataset_dir):
+    cfg = Config()
+    img = load_city(dataset_dir, "alpha", cfg, out_shape=(50, 60))
+    assert img.shape == (2, 50, 60, 13)
+
+
+def test_full_load_and_metadata(dataset_dir):
+    cfg = Config(validation_cities=["beta"])
+    data = full_load(dataset_dir, cfg)
+    assert set(data) == {"alpha", "beta", "gamma"}
+    train_md, val_md = get_train_val_metadata(
+        dataset_dir, ["beta"], patch_size=32, stride=32)
+    assert all(c in ("alpha", "gamma") for c, _, _ in train_md)
+    assert all(c == "beta" for c, _, _ in val_md)
+    assert len(val_md) == len(patch_grid((128, 96), 32, 32))
+
+
+def test_sampler_and_augmentation(dataset_dir):
+    cfg = Config(validation_cities=["beta"])
+    data = full_load(dataset_dir, cfg)
+    train_md, _ = get_train_val_metadata(dataset_dir, ["beta"], 32, 32)
+    s_aug = PatchSampler(data, train_md, 32, augment=True, seed=1)
+    s_raw = PatchSampler(data, train_md, 32, augment=False, seed=1)
+    a1, a2, al = s_aug.sample(0)
+    r1, r2, rl = s_raw.sample(0)
+    assert a1.shape == (32, 32, 13) and al.shape == (32, 32)
+    # augmented crop is a rot/flip of the raw crop: same multiset of values
+    assert np.isclose(a1.sum(), r1.sum(), rtol=1e-5)
+    # label and image transform together: label-conditioned mean must match
+    m_aug = a2[al == 1].mean() if (al == 1).any() else 0
+    m_raw = r2[rl == 1].mean() if (rl == 1).any() else 0
+    assert np.isclose(m_aug, m_raw, rtol=1e-4)
+
+
+def test_batch_iterator_fixed_shapes(dataset_dir):
+    cfg = Config(validation_cities=["beta"])
+    data = full_load(dataset_dir, cfg)
+    _, val_md = get_train_val_metadata(dataset_dir, ["beta"], 32, 32)
+    sampler = PatchSampler(data, val_md, 32, augment=False)
+    n = len(sampler)
+    bs = 5
+    batches = list(batch_iterator(sampler, bs, shuffle=False, pad_mode="mask"))
+    assert all(b["img1"].shape == (bs, 32, 32, 13) for b in batches)
+    assert all(b["label"].dtype == np.int32 for b in batches)
+    total_weight = sum(float(b["weight"].sum()) for b in batches)
+    assert total_weight == n  # mask-pad: weights count real samples exactly
+    wrap = list(batch_iterator(sampler, bs, shuffle=True, pad_mode="wrap"))
+    assert sum(float(b["weight"].sum()) for b in wrap) == len(wrap) * bs
+
+
+def test_prefetch_to_device(dataset_dir):
+    cfg = Config(validation_cities=["beta"])
+    data = full_load(dataset_dir, cfg)
+    _, val_md = get_train_val_metadata(dataset_dir, ["beta"], 32, 32)
+    sampler = PatchSampler(data, val_md, 32, augment=False)
+    it = batch_iterator(sampler, 4, shuffle=False)
+    out = list(prefetch_to_device(it, size=2))
+    assert len(out) >= 1
+    import jax
+    assert isinstance(out[0]["img1"], jax.Array)
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield {"img1": np.zeros(2)}
+        raise RuntimeError("boom")
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(bad(), size=2))

@@ -1,0 +1,54 @@
+"""On-device scene inference must match the host tile/stitch path exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fabric_tpu.config import Config
+from fabric_tpu.infer.device_tiling import make_scene_infer, _axis_positions
+from fabric_tpu.infer.runner import predict_scene
+from fabric_tpu.models import build_model
+from fabric_tpu.train.state import create_state
+from fabric_tpu.train.steps import make_infer_step, make_infer_probs_step
+
+
+def test_axis_positions_reference_grid():
+    # 97/32: grid 0,32,64 then edge-anchored 65
+    assert _axis_positions(97, 32, 32).tolist() == [0, 32, 64, 65]
+    assert _axis_positions(96, 32, 32).tolist() == [0, 32, 64]
+    assert _axis_positions(97, 32, 24).tolist() == [0, 24, 48, 65]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(patch_size=16, dtype="float32")
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.RandomState(0)
+    d1 = rng.randn(40, 55, 13).astype(np.float32)
+    d2 = rng.randn(40, 55, 13).astype(np.float32)
+    return cfg, model, state, variables, d1, d2
+
+
+def test_device_matches_host_reference_mode(setup):
+    cfg, model, state, variables, d1, d2 = setup
+    host = predict_scene(make_infer_step(model), state, d1, d2,
+                         patch_size=16, batch_size=8)
+    run = make_scene_infer(model, 16, d1.shape[:2], batch_size=8,
+                           dtype=jnp.float32)
+    dev = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    assert dev.shape == host.shape == (40, 55)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_device_matches_host_overlap_mode(setup):
+    cfg, model, state, variables, d1, d2 = setup
+    host = predict_scene(make_infer_step(model), state, d1, d2,
+                         patch_size=16, batch_size=8, overlap=8,
+                         prob_step=make_infer_probs_step(model))
+    run = make_scene_infer(model, 16, d1.shape[:2], batch_size=8,
+                           overlap=8, dtype=jnp.float32)
+    dev = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_array_equal(dev, host)

@@ -1,0 +1,73 @@
+"""End-to-end slice (SURVEY.md §7 stage 4-5): train on a synthetic dataset
+on CPU, check the loss decreases, checkpoints are written, resume works,
+and whole-scene inference produces a mask."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fabric_tpu.config import Config
+from fabric_tpu.data.synthetic import generate_synthetic_dataset
+from fabric_tpu.track import Tracker
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    cfg = Config(
+        dataset_dir=str(root / "data"), weight_dir=str(root / "weights"),
+        log_dir=str(root / "logs"), patch_size=16, stride=16,
+        batch_size=8, epochs=2, learning_rate=0.05, dtype="float32",
+        validation_cities=["beta"], augmentation=True,
+        num_workers=0, prefetch=1, seed=0,
+    )
+    generate_synthetic_dataset(cfg.dataset_dir, cfg, seed=3)
+    return cfg
+
+
+def test_train_loop_e2e(env):
+    from fabric_tpu.train.loop import train
+    cfg = env
+    state, history = train(cfg, run_scene_inference=True)
+    assert len(history["train"]) == 2
+    # loss must decrease across epochs on the strongly-signalled synthetic set
+    assert history["train"][1]["cd_losses"] < history["train"][0]["cd_losses"]
+    # best-metric checkpoint exists
+    files = os.listdir(cfg.weight_dir)
+    assert any(f.endswith(".msgpack") for f in files)
+    assert any(f.startswith("metadata_epoch_") for f in files)
+    # scene inference image was logged by the tracker
+    runs = os.listdir(cfg.log_dir)
+    assert runs
+    run_dir = os.path.join(cfg.log_dir, sorted(runs)[-1])
+    assert any("beta_epoch" in f for f in os.listdir(run_dir))
+    # learning happened: val F1 is meaningful on blob-change data
+    assert history["val"][-1]["cd_f1scores"] > 0.15
+
+
+def test_resume_continues_from_checkpoint(env):
+    from fabric_tpu.train.loop import train
+    cfg = Config.from_dict({**env.to_dict(), "epochs": 3,
+                            "resume": env.weight_dir,
+                            "steps_per_epoch": 2})
+    state, history = train(cfg, run_scene_inference=False)
+    # resumed: ran only the epochs after the checkpointed one
+    assert len(history["train"]) < 3
+    assert int(state.step) > 0
+
+
+def test_infer_cli_writes_mask(env, tmp_path):
+    from fabric_tpu.cli.infer import main
+    out_dir = str(tmp_path / "masks")
+    rc = main(["--dataset_dir", env.dataset_dir,
+               "--resume", env.weight_dir,
+               "--patch_size", "16", "--dtype", "float32",
+               "--city", "alpha", "--output_dir", out_dir])
+    assert rc == 0
+    out = os.path.join(out_dir, "alpha_mask.png")
+    assert os.path.exists(out)
+    from fabric_tpu.utils.image import read_png_gray
+    mask = read_png_gray(out)
+    assert mask.shape == (97, 113)
+    assert set(np.unique(mask)) <= {0, 255}
