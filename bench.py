@@ -87,14 +87,16 @@ def main(argv=None) -> int:
         h1, h2 = np.asarray(d1, np.float32), np.asarray(d2, np.float32)
         istep, pstep = make_infer_step(model), make_infer_probs_step(model)
         t0 = time.time()
-        mask = predict_scene(istep, state, h1, h2, args.patch, args.batch,
-                             overlap=args.overlap, prob_step=pstep)
+        mask = predict_scene(istep, state, h1, h2, patch_size=args.patch,
+                             batch_size=args.batch, overlap=args.overlap,
+                             prob_step=pstep)
         compile_and_first = time.time() - t0
         t0 = time.time()
         for _ in range(args.iters):
-            mask = predict_scene(istep, state, h1, h2, args.patch,
-                                 args.batch, overlap=args.overlap,
-                                 prob_step=pstep)
+            mask = predict_scene(istep, state, h1, h2,
+                                 patch_size=args.patch,
+                                 batch_size=args.batch,
+                                 overlap=args.overlap, prob_step=pstep)
         elapsed = (time.time() - t0) / args.iters
 
     mpx_per_sec = (args.size * args.size) / elapsed / 1e6

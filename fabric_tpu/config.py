@@ -89,6 +89,7 @@ class Config:
 
     # ---- TPU-native extensions (no reference equivalent) ----
     model: str = "bidate"  # bidate | unet_lstm | unet3d
+    model_base: int = 0    # encoder width; 0 = architecture default (64 / 32)
     num_dates: int = 2     # temporal depth for unet_lstm / unet3d (BASELINE config 3/5)
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
     sync_batchnorm: bool = False  # per-device BN matches reference DataParallel semantics

@@ -95,31 +95,52 @@ def band_files(image_dir: str, band_ids: list[str]) -> list[str]:
     return out
 
 
+def num_dates_on_disk(data_dir: str, city: str) -> int:
+    """Count imgs_1..imgs_T date directories for a city."""
+    root = os.path.join(data_dir, "images", city)
+    t = 0
+    while os.path.isdir(os.path.join(root, f"imgs_{t + 1}")):
+        t += 1
+    return t
+
+
 def load_city(data_dir: str, city: str, cfg,
-              out_shape: tuple[int, int] | None = None) -> np.ndarray:
-    """(2, H, W, 13) float32: both dates, normalized, resized to label dims
-    (dataloaders.py:86-112).  ``out_shape=(H, W)`` overrides the target size
-    (whole-scene inference passes the template band's dims,
-    inference.py:47-51)."""
+              out_shape: tuple[int, int] | None = None,
+              num_dates: int | None = None) -> np.ndarray:
+    """(T, H, W, 13) float32: all dates, normalized, resized to label dims
+    (dataloaders.py:86-112; the reference is fixed to T=2).  ``out_shape``
+    overrides the target size (whole-scene inference passes the template
+    band's dims, inference.py:47-51); ``num_dates`` defaults to what's on
+    disk."""
     if out_shape is None:
         label = load_label(data_dir, city)
         out_h, out_w = label.shape
     else:
         out_h, out_w = out_shape
+    if num_dates is None:
+        num_dates = num_dates_on_disk(data_dir, city) or 2
     means, stds = cfg.band_stats_arrays()
+    from fabric_tpu import native
+    use_native = native.available()
     dates = []
-    for date_dir in ("imgs_1", "imgs_2"):
+    for date_dir in (f"imgs_{t + 1}" for t in range(num_dates)):
         image_dir = os.path.join(data_dir, "images", city, date_dir)
         paths = band_files(image_dir, cfg.band_ids)
         bands = []
         for k, path in enumerate(paths):
             band = read_band(path)
+            if use_native:
+                out = native.normalize_resize(band, means[k], stds[k],
+                                              out_h, out_w)
+                if out is not None:
+                    bands.append(out)
+                    continue
             band = (band - means[k]) / stds[k]
             if band.shape != (out_h, out_w):
                 band = resize_bilinear(band, out_h, out_w)
             bands.append(band.astype(np.float32))
         dates.append(np.stack(bands, axis=-1))  # (H, W, 13) NHWC
-    return np.stack(dates)  # (2, H, W, 13)
+    return np.stack(dates)  # (T, H, W, 13)
 
 
 def full_load(data_dir: str, cfg, max_workers: int | None = None) -> dict:
@@ -127,8 +148,10 @@ def full_load(data_dir: str, cfg, max_workers: int | None = None) -> dict:
     dataset resident in host RAM (dataloaders.py:115-145)."""
     cities = list_cities(data_dir)
     workers = max_workers or max(2, (os.cpu_count() or 1) * 2)
+    t = getattr(cfg, "num_dates", None)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         labels = list(pool.map(lambda c: load_label(data_dir, c), cities))
-        images = list(pool.map(lambda c: load_city(data_dir, c, cfg), cities))
+        images = list(pool.map(
+            lambda c: load_city(data_dir, c, cfg, num_dates=t), cities))
     return {c: {"images": img, "labels": lab}
             for c, img, lab in zip(cities, images, labels)}

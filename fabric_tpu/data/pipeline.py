@@ -28,18 +28,18 @@ class PatchSampler:
     """Crops + augments patches from the full in-RAM dataset dict."""
 
     def __init__(self, dataset: dict, metadata: list, patch_size: int,
-                 augment: bool, seed: int = 0):
+                 augment: bool, seed: int = 0, multi_date: bool = False):
         self.dataset = dataset
         self.metadata = list(metadata)
         self.patch_size = patch_size
         self.augment = augment
+        self.multi_date = multi_date
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
         return len(self.metadata)
 
-    def sample(self, index: int):
-        """(img_d1 (ps,ps,13), img_d2 (ps,ps,13), label (ps,ps))."""
+    def _crop(self, index: int):
         city, x, y = self.metadata[index]
         s = self.patch_size
         entry = self.dataset[city]
@@ -56,6 +56,14 @@ class PatchSampler:
             if self.rng.rand() > 0.5:
                 img = np.flip(img, axis=2)
                 lbl = np.flip(lbl, axis=1)
+        return img, lbl
+
+    def sample(self, index: int):
+        """Bi-date: (img_d1, img_d2, label).  Multi-date: (imgs (T,ps,ps,C),
+        label)."""
+        img, lbl = self._crop(index)
+        if self.multi_date:
+            return np.ascontiguousarray(img), np.ascontiguousarray(lbl)
         return (np.ascontiguousarray(img[0]), np.ascontiguousarray(img[1]),
                 np.ascontiguousarray(lbl))
 
@@ -87,14 +95,22 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     ps = sampler.patch_size
     for b in range(num_batches):
         idx = order[b * batch_size:(b + 1) * batch_size]
+        label = np.empty((batch_size, ps, ps), np.int32)
+        w = weights[b * batch_size:(b + 1) * batch_size].copy()
+        if sampler.multi_date:
+            first, l0 = sampler.sample(int(idx[0]))
+            imgs = np.empty((batch_size,) + first.shape, np.float32)
+            imgs[0], label[0] = first, l0
+            for row, i in enumerate(idx[1:], start=1):
+                imgs[row], label[row] = sampler.sample(int(i))
+            yield {"imgs": imgs, "label": label, "weight": w}
+            continue
         img1 = np.empty((batch_size, ps, ps, 13), np.float32)
         img2 = np.empty_like(img1)
-        label = np.empty((batch_size, ps, ps), np.int32)
         for row, i in enumerate(idx):
             a, c, l = sampler.sample(int(i))
             img1[row], img2[row], label[row] = a, c, l
-        yield {"img1": img1, "img2": img2, "label": label,
-               "weight": weights[b * batch_size:(b + 1) * batch_size].copy()}
+        yield {"img1": img1, "img2": img2, "label": label, "weight": w}
 
 
 def prefetch_to_device(iterator: Iterator[dict], size: int = 2,

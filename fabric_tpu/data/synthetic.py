@@ -30,19 +30,28 @@ def _blob_mask(h: int, w: int, rng: np.random.RandomState,
 
 def generate_synthetic_dataset(root: str, cfg, cities: list[str] | None = None,
                                sizes: list[tuple[int, int]] | None = None,
-                               seed: int = 0) -> list[str]:
-    """Create a synthetic dataset under ``root``; returns the city list."""
+                               seed: int = 0, num_dates: int = 2) -> list[str]:
+    """Create a synthetic dataset under ``root``; returns the city list.
+
+    ``num_dates > 2`` writes imgs_1..imgs_T for the multi-date variants
+    (UNetLSTM / 3D U-Net, BASELINE configs 3/5); change appears gradually
+    over the sequence, fully developed by the last date.
+    """
     rng = np.random.RandomState(seed)
     cities = cities or ["alpha", "beta", "gamma"]
     sizes = sizes or [(97, 113), (128, 96), (75, 75)]
     means, stds = cfg.band_stats_arrays()
     for city, (h, w) in zip(cities, sizes):
         mask = _blob_mask(h, w, rng)
-        d1 = rng.randn(h, w, len(cfg.band_ids)).astype(np.float32)
-        d2 = d1 + rng.randn(h, w, len(cfg.band_ids)).astype(np.float32) * 0.1
-        # inject a strong signature inside change regions on date 2
-        d2[mask] += 2.0
-        for date, cube in (("imgs_1", d1), ("imgs_2", d2)):
+        base = rng.randn(h, w, len(cfg.band_ids)).astype(np.float32)
+        dates = []
+        for t in range(num_dates):
+            d = base + rng.randn(h, w, len(cfg.band_ids)).astype(np.float32) * 0.1
+            # change signature ramps up over the sequence (0 at date 1)
+            d[mask] += 2.0 * t / max(num_dates - 1, 1)
+            dates.append(d)
+        for t, cube in enumerate(dates):
+            date = f"imgs_{t + 1}"
             ddir = os.path.join(root, "images", city, date)
             os.makedirs(ddir, exist_ok=True)
             for k, band in enumerate(cfg.band_ids):
@@ -55,8 +64,8 @@ def generate_synthetic_dataset(root: str, cfg, cities: list[str] | None = None,
                   mask.astype(np.uint8) * 255)
         pdir = os.path.join(root, "images", city, "pair")
         os.makedirs(pdir, exist_ok=True)
-        rgb1 = np.clip((d1[:, :, 1:4] + 3) * 42, 0, 255).astype(np.uint8)
-        rgb2 = np.clip((d2[:, :, 1:4] + 3) * 42, 0, 255).astype(np.uint8)
+        rgb1 = np.clip((dates[0][:, :, 1:4] + 3) * 42, 0, 255).astype(np.uint8)
+        rgb2 = np.clip((dates[-1][:, :, 1:4] + 3) * 42, 0, 255).astype(np.uint8)
         write_png(os.path.join(pdir, "img1.png"), rgb1)
         write_png(os.path.join(pdir, "img2.png"), rgb2)
     return list(cities)

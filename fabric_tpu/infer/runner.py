@@ -21,35 +21,46 @@ from fabric_tpu.infer.tiling import (
     extract_tiles, stitch_tiles, extract_tiles_overlap, stitch_average)
 
 
-def _run_tiles(infer_step, state, tiles1, tiles2, batch_size, mesh=None,
-               dtype=np.float32):
-    """Run (K, ps, ps, C) tile stacks through the jitted step in fixed-shape
-    batches; returns (K, ps, ps) outputs."""
+def _run_tiles(infer_step, state, tile_stacks, batch_size, mesh=None):
+    """Run tile stacks through the jitted step in fixed-shape batches.
+
+    ``tile_stacks`` is a list of per-date (K, ps, ps, C) arrays — passed as
+    separate args for bi-date models (len 2) or stacked into (K, T, ps, ps,
+    C) for multi-date models (len > 2).  Returns (K, ps, ps) outputs.
+    """
     import jax
-    k = tiles1.shape[0]
+    k = tile_stacks[0].shape[0]
     pad = (-k) % batch_size
     if pad:
-        zeros = np.zeros((pad,) + tiles1.shape[1:], tiles1.dtype)
-        tiles1 = np.concatenate([tiles1, zeros])
-        tiles2 = np.concatenate([tiles2, zeros])
+        zeros = np.zeros((pad,) + tile_stacks[0].shape[1:],
+                         tile_stacks[0].dtype)
+        tile_stacks = [np.concatenate([t, zeros]) for t in tile_stacks]
+    stacked = None
+    if len(tile_stacks) != 2:
+        stacked = np.stack(tile_stacks, axis=1)  # (K, T, ps, ps, C)
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sharding = NamedSharding(mesh, P("data", "spatial", None, None))
+        spec = (P("data", None, "spatial", None, None) if stacked is not None
+                else P("data", "spatial", None, None))
+        sharding = NamedSharding(mesh, spec)
     outs = []
-    for i in range(0, tiles1.shape[0], batch_size):
-        b1, b2 = tiles1[i:i + batch_size], tiles2[i:i + batch_size]
+    total = tile_stacks[0].shape[0]
+    for i in range(0, total, batch_size):
+        if stacked is not None:
+            args = [stacked[i:i + batch_size]]
+        else:
+            args = [t[i:i + batch_size] for t in tile_stacks]
         if sharding is not None:
-            b1 = jax.device_put(b1, sharding)
-            b2 = jax.device_put(b2, sharding)
-        outs.append(np.asarray(infer_step(state, b1, b2)))
+            args = [jax.device_put(a, sharding) for a in args]
+        outs.append(np.asarray(infer_step(state, *args)))
     return np.concatenate(outs)[:k]
 
 
-def predict_scene(infer_step, state, d1: np.ndarray, d2: np.ndarray,
+def predict_scene(infer_step, state, *dates: np.ndarray,
                   patch_size: int, batch_size: int, mesh=None,
                   overlap: int = 0, prob_step=None) -> np.ndarray:
-    """Predict a change mask for one scene pair (H, W, C) each.
+    """Predict a change mask for one scene: 2+ date arrays of (H, W, C).
 
     overlap == 0: reference-exact grid tiling + argmax paste-back.
     overlap > 0: stride = patch_size - overlap sliding window; requires
@@ -58,15 +69,19 @@ def predict_scene(infer_step, state, d1: np.ndarray, d2: np.ndarray,
     """
     if overlap:
         stride = patch_size - overlap
-        tiles1, meta = extract_tiles_overlap(d1, patch_size, stride)
-        tiles2, _ = extract_tiles_overlap(d2, patch_size, stride)
+        stacks, meta = [], None
+        for d in dates:
+            tiles, meta = extract_tiles_overlap(d, patch_size, stride)
+            stacks.append(tiles)
         step = prob_step if prob_step is not None else infer_step
-        probs = _run_tiles(step, state, tiles1, tiles2, batch_size, mesh)
+        probs = _run_tiles(step, state, stacks, batch_size, mesh)
         avg = stitch_average(probs.astype(np.float32), meta, patch_size)
         return (avg > 0.5).astype(np.uint8)
-    tiles1, meta = extract_tiles(d1, patch_size)
-    tiles2, _ = extract_tiles(d2, patch_size)
-    preds = _run_tiles(infer_step, state, tiles1, tiles2, batch_size, mesh)
+    stacks, meta = [], None
+    for d in dates:
+        tiles, meta = extract_tiles(d, patch_size)
+        stacks.append(tiles)
+    preds = _run_tiles(infer_step, state, stacks, batch_size, mesh)
     return stitch_tiles(preds.astype(np.uint8), meta, patch_size)
 
 
@@ -84,10 +99,14 @@ def scene_dims(data_dir: str, city: str, cfg) -> tuple[int, int]:
 def infer_city(infer_step, state, cfg, city: str, mesh=None,
                prob_step=None) -> np.ndarray:
     """Full-city change-map inference (reference generate_patches +
-    batched forward, train.py:182-205).  Returns the (H, W) uint8 mask."""
+    batched forward, train.py:182-205).  Returns the (H, W) uint8 mask.
+    Multi-date models get all cfg.num_dates dates."""
     dims = scene_dims(cfg.dataset_dir, city, cfg)
-    stacked = load_city(cfg.dataset_dir, city, cfg, out_shape=dims)
-    return predict_scene(infer_step, state, stacked[0], stacked[1],
-                         cfg.patch_size, cfg.eval_batch_size, mesh=mesh,
+    num_dates = cfg.num_dates if cfg.model in ("unet_lstm", "unet3d") else 2
+    stacked = load_city(cfg.dataset_dir, city, cfg, out_shape=dims,
+                        num_dates=num_dates)
+    return predict_scene(infer_step, state, *stacked,
+                         patch_size=cfg.patch_size,
+                         batch_size=cfg.eval_batch_size, mesh=mesh,
                          overlap=getattr(cfg, "infer_overlap", 0),
                          prob_step=prob_step)

@@ -13,17 +13,19 @@ def build_model(cfg):
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     axis = "data" if getattr(cfg, "sync_batchnorm", False) else None
+    base = getattr(cfg, "model_base", 0)
+    common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                  dtype=dtype, bn_axis_name=axis)
     if cfg.model == "bidate":
-        return BiDateNet(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                         dtype=dtype, bn_axis_name=axis,
-                         use_pallas=getattr(cfg, "use_pallas", False))
+        return BiDateNet(base=base or 64,
+                         use_pallas=getattr(cfg, "use_pallas", False),
+                         **common)
     if cfg.model == "unet_lstm":
         from fabric_tpu.models.unet_lstm import UNetLSTM
-        return UNetLSTM(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                        dtype=dtype, bn_axis_name=axis,
-                        use_pallas=getattr(cfg, "use_pallas", False))
+        return UNetLSTM(base=base or 64,
+                        use_pallas=getattr(cfg, "use_pallas", False),
+                        **common)
     if cfg.model == "unet3d":
         from fabric_tpu.models.unet3d import UNet3D
-        return UNet3D(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                      dtype=dtype, bn_axis_name=axis)
+        return UNet3D(base=base or 32, **common)
     raise ValueError(f"unknown model: {cfg.model!r}")

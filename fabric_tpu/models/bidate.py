@@ -40,6 +40,7 @@ class BiDateNet(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    fold_bn: bool = False  # BN folded into conv weights (ops/fold_bn.py)
     # True (default): stack dates into the batch axis so the shared encoder
     # runs once at 2N batch — bigger MXU tiles, one fusion region.  Train-mode
     # BatchNorm then uses joint two-date batch statistics.  False: apply the
@@ -53,7 +54,7 @@ class BiDateNet(nn.Module):
         """x_d1, x_d2: (N, H, W, n_channels) NHWC. Returns float32 logits
         (N, H, W, n_classes)."""
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                  use_pallas=self.use_pallas)
+                  use_pallas=self.use_pallas, fold_bn=self.fold_bn)
         b = self.base
         inc = DoubleConv(b, name="inc", **kw)
         down1 = Down(2 * b, name="down1", **kw)

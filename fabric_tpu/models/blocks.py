@@ -32,13 +32,21 @@ class DoubleConv(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    # fold_bn: the caller folded BN into the conv weights (ops/fold_bn.py);
+    # skip the BN modules entirely so eval is conv -> ReLU (single fused
+    # MXU op).  Only valid with train=False.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = self._bn_relu(x, train, i)
+            if self.fold_bn:
+                assert not train, "fold_bn is an inference-only transform"
+                x = nn.relu(x).astype(self.dtype)
+            else:
+                x = self._bn_relu(x, train, i)
         return x
 
     def _bn_relu(self, x, train: bool, i: int):
@@ -59,12 +67,13 @@ class Down(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
-                          self.use_pallas, name="conv")(x, train)
+                          self.use_pallas, self.fold_bn, name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -76,6 +85,7 @@ class Up(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
@@ -83,7 +93,7 @@ class Up(nn.Module):
         x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
-                          self.use_pallas, name="conv")(x, train)
+                          self.use_pallas, self.fold_bn, name="conv")(x, train)
 
 
 class OutConv(nn.Module):

@@ -59,23 +59,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_shardings(mesh: Mesh) -> dict[str, NamedSharding]:
+def batch_shardings(mesh: Mesh,
+                    multi_date: bool = False) -> dict[str, NamedSharding]:
     """Shardings for one training batch dict.
 
-    Images (N,H,W,C): batch over data, H over spatial.  Labels (N,H,W)
-    likewise.  Per-sample weights (N,): data only.
+    Bi-date images (N,H,W,C): batch over data, H over spatial; multi-date
+    stacks (N,T,H,W,C): batch over data, H over spatial (T replicated —
+    it's tiny).  Labels (N,H,W) likewise.  Per-sample weights (N,): data.
     """
-    return {
-        "img1": NamedSharding(mesh, P("data", "spatial", None, None)),
-        "img2": NamedSharding(mesh, P("data", "spatial", None, None)),
-        "label": NamedSharding(mesh, P("data", "spatial", None)),
-        "weight": NamedSharding(mesh, P("data")),
-    }
+    label = NamedSharding(mesh, P("data", "spatial", None))
+    weight = NamedSharding(mesh, P("data"))
+    if multi_date:
+        return {
+            "imgs": NamedSharding(mesh, P("data", None, "spatial", None, None)),
+            "label": label, "weight": weight,
+        }
+    img = NamedSharding(mesh, P("data", "spatial", None, None))
+    return {"img1": img, "img2": img, "label": label, "weight": weight}
 
 
 def shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
     """device_put a host batch into its mesh layout."""
-    sh = batch_shardings(mesh)
+    sh = batch_shardings(mesh, multi_date="imgs" in batch)
     return {k: jax.device_put(v, sh[k]) if k in sh else jax.device_put(v)
             for k, v in batch.items()}
 

@@ -61,7 +61,18 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     tracker.log_params(cfg.to_dict())
 
     mesh = make_mesh_from_config(cfg)
-    shardings = batch_shardings(mesh)
+    if cfg.batch_size % mesh.shape["data"]:
+        # the data axis must divide the batch; shrink it rather than fail
+        import math
+        from fabric_tpu.parallel.mesh import make_mesh
+        new_data = math.gcd(cfg.batch_size, mesh.shape["data"])
+        log.warning("batch_size %d not divisible by data axis %d; "
+                    "shrinking mesh to data=%d", cfg.batch_size,
+                    mesh.shape["data"], new_data)
+        mesh = make_mesh(new_data, mesh.shape["spatial"],
+                         mesh.shape["model"])
+    multi_date = cfg.model in ("unet_lstm", "unet3d")
+    shardings = batch_shardings(mesh, multi_date=multi_date)
 
     log.info("loading dataset from %s", cfg.dataset_dir)
     data = dataset if dataset is not None else full_load(cfg.dataset_dir, cfg)
@@ -91,7 +102,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
 
         sampler = PatchSampler(data, train_md, cfg.patch_size,
                                augment=cfg.augmentation,
-                               seed=cfg.seed + epoch)
+                               seed=cfg.seed + epoch,
+                               multi_date=multi_date)
         batches = prefetch_to_device(
             batch_iterator(sampler, cfg.batch_size, shuffle=True,
                            pad_mode="wrap", seed=cfg.seed + epoch,
@@ -103,7 +115,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         log.info("epoch %d train %s", epoch,
                  {k: round(v, 4) for k, v in mean_train.items()})
 
-        val_sampler = PatchSampler(data, val_md, cfg.patch_size, augment=False)
+        val_sampler = PatchSampler(data, val_md, cfg.patch_size,
+                                   augment=False, multi_date=multi_date)
         val_batches = prefetch_to_device(
             batch_iterator(val_sampler, cfg.eval_batch_size, shuffle=False,
                            pad_mode="mask",

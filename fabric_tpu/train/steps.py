@@ -29,10 +29,15 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True):
 
     def train_step(state, batch):
         def loss_of(params):
-            logits, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img1"], batch["img2"], train=True,
-                mutable=["batch_stats"])
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if "imgs" in batch:  # multi-date variants (N, T, H, W, C)
+                logits, updates = state.apply_fn(
+                    variables, batch["imgs"], train=True,
+                    mutable=["batch_stats"])
+            else:
+                logits, updates = state.apply_fn(
+                    variables, batch["img1"], batch["img2"], train=True,
+                    mutable=["batch_stats"])
             loss = loss_fn(logits, batch["label"],
                            weights=batch.get("weight"))
             return loss, (logits, updates)
@@ -56,9 +61,13 @@ def make_eval_step(model, loss_fn: Callable):
     BN, no grads — reference validation phase train.py:125-172)."""
 
     def eval_step(state, batch):
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["img1"], batch["img2"], train=False)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if "imgs" in batch:
+            logits = state.apply_fn(variables, batch["imgs"], train=False)
+        else:
+            logits = state.apply_fn(variables, batch["img1"], batch["img2"],
+                                    train=False)
         loss = loss_fn(logits, batch["label"], weights=batch.get("weight"))
         preds = jnp.argmax(logits, axis=-1)
         stats = confusion_counts(preds, batch["label"],
@@ -71,13 +80,15 @@ def make_eval_step(model, loss_fn: Callable):
 
 
 def make_infer_step(model):
-    """Returns jitted ``infer_step(state, img1, img2) -> preds`` for tiled
-    whole-scene inference (argmax class map, reference train.py:187-201)."""
+    """Returns jitted ``infer_step(state, *imgs) -> preds`` for tiled
+    whole-scene inference (argmax class map, reference train.py:187-201).
+    Bi-date: ``infer_step(state, img1, img2)``; multi-date:
+    ``infer_step(state, imgs)`` with imgs (N, T, ps, ps, C)."""
 
-    def infer_step(state, img1, img2):
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            img1, img2, train=False)
+    def infer_step(state, *imgs):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, *imgs, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
     return jax.jit(infer_step)
@@ -87,10 +98,10 @@ def make_infer_probs_step(model):
     """Like make_infer_step but returns change-class probabilities, needed
     for overlap-averaged stitching (BASELINE config 4)."""
 
-    def infer_step(state, img1, img2):
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            img1, img2, train=False)
+    def infer_step(state, *imgs):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, *imgs, train=False)
         return jax.nn.softmax(logits, axis=-1)[..., 1]
 
     return jax.jit(infer_step)

@@ -1,0 +1,48 @@
+"""BN folding must be numerically equivalent to eval-mode BN."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fabric_tpu.models import BiDateNet
+from fabric_tpu.ops.fold_bn import fold_batchnorm
+
+
+def test_folded_matches_eval_bn():
+    model = BiDateNet(base=8)
+    rng = np.random.RandomState(0)
+    a = jnp.array(rng.randn(2, 16, 16, 13), jnp.float32)
+    b = jnp.array(rng.randn(2, 16, 16, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), a, b, train=False)
+    # make stats non-trivial (fresh init has mean=0, var=1)
+    _, mutated = model.apply(variables, a, b, train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+
+    reference_out = model.apply(variables, a, b, train=False)
+
+    folded_params = fold_batchnorm(variables["params"],
+                                   variables["batch_stats"])
+    folded_model = BiDateNet(base=8, fold_bn=True)
+    folded_out = folded_model.apply(
+        {"params": folded_params, "batch_stats": {}}, a, b, train=False)
+
+    np.testing.assert_allclose(np.asarray(folded_out),
+                               np.asarray(reference_out), atol=2e-4)
+
+
+def test_folded_param_tree_has_no_bn():
+    model = BiDateNet(base=8)
+    x = jnp.zeros((1, 16, 16, 13))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    folded = fold_batchnorm(variables["params"], variables["batch_stats"])
+    flat = jax.tree_util.tree_flatten_with_path(folded)[0]
+    keys = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert not any("bn" in k for k in keys)
+    # folded tree must be a valid params tree for the fold_bn model
+    folded_model = BiDateNet(base=8, fold_bn=True)
+    out = folded_model.apply({"params": folded, "batch_stats": {}},
+                             x, x, train=False)
+    assert out.shape == (1, 16, 16, 2)
