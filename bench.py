@@ -35,13 +35,15 @@ BASELINE_MPX_PER_SEC = 2.4  # estimated reference per-P100 rate (see above)
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--overlap", type=int, default=0)
     ap.add_argument("--mode", choices=["device", "host"], default="device")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--fold_bn", action="store_true",
+                    help="fold BN into conv weights before benchmarking")
     args = ap.parse_args(argv)
 
     import jax
@@ -55,6 +57,15 @@ def main(argv=None) -> int:
     model = build_model(cfg)
     state = create_state(cfg, model, sample_shape=(args.patch, args.patch))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.fold_bn:
+        from fabric_tpu.models import BiDateNet
+        from fabric_tpu.ops.fold_bn import fold_batchnorm
+        import jax.numpy as _jnp
+        model = BiDateNet(dtype=_jnp.bfloat16 if args.dtype == "bfloat16"
+                          else _jnp.float32, fold_bn=True)
+        variables = {"params": fold_batchnorm(state.params,
+                                              state.batch_stats),
+                     "batch_stats": {}}
 
     rng = np.random.RandomState(0)
     shape = (args.size, args.size, 13)

@@ -105,6 +105,7 @@ class Config:
     checkpoint_every: int = 0  # extra step-based checkpointing (0 = best-metric only)
     prefetch: int = 2  # device prefetch depth for the input pipeline
     use_pallas: bool = False  # route fused ops through Pallas kernels
+    remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
     eval_batch_size: int = 0  # 0 = use batch_size
     log_every: int = 1  # batches between tracker metric writes

@@ -19,6 +19,7 @@ def build_model(cfg):
     if cfg.model == "bidate":
         return BiDateNet(base=base or 64,
                          use_pallas=getattr(cfg, "use_pallas", False),
+                         remat=getattr(cfg, "remat", False),
                          **common)
     if cfg.model == "unet_lstm":
         from fabric_tpu.models.unet_lstm import UNetLSTM

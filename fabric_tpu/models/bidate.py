@@ -41,6 +41,10 @@ class BiDateNet(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
     fold_bn: bool = False  # BN folded into conv weights (ops/fold_bn.py)
+    # Rematerialize each encoder/decoder stage in the backward pass —
+    # trades ~1/3 more FLOPs for activation memory, enabling much larger
+    # batch/patch sizes per chip (jax.checkpoint via nn.remat).
+    remat: bool = False
     # True (default): stack dates into the batch axis so the shared encoder
     # runs once at 2N batch — bigger MXU tiles, one fusion region.  Train-mode
     # BatchNorm then uses joint two-date batch statistics.  False: apply the
@@ -56,11 +60,16 @@ class BiDateNet(nn.Module):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                   use_pallas=self.use_pallas, fold_bn=self.fold_bn)
         b = self.base
-        inc = DoubleConv(b, name="inc", **kw)
-        down1 = Down(2 * b, name="down1", **kw)
-        down2 = Down(4 * b, name="down2", **kw)
-        down3 = Down(8 * b, name="down3", **kw)
-        down4 = Down(8 * b, name="down4", **kw)
+        DC, Dn, UpB = DoubleConv, Down, Up
+        if self.remat and train:
+            DC = nn.remat(DoubleConv, static_argnums=(2,))
+            Dn = nn.remat(Down, static_argnums=(2,))
+            UpB = nn.remat(Up, static_argnums=(3,))
+        inc = DC(b, name="inc", **kw)
+        down1 = Dn(2 * b, name="down1", **kw)
+        down2 = Dn(4 * b, name="down2", **kw)
+        down3 = Dn(8 * b, name="down3", **kw)
+        down4 = Dn(8 * b, name="down4", **kw)
 
         def encode(x):
             x1 = inc(x, train)
@@ -83,9 +92,9 @@ class BiDateNet(nn.Module):
         f1, f2, f3, f4, f5 = (fuse(a, b_, self.use_pallas)
                               for a, b_ in zip(d1, d2))
 
-        y = Up(4 * b, name="up1", **kw)(f5, f4, train)
-        y = Up(2 * b, name="up2", **kw)(y, f3, train)
-        y = Up(b, name="up3", **kw)(y, f2, train)
-        y = Up(b, name="up4", **kw)(y, f1, train)
+        y = UpB(4 * b, name="up1", **kw)(f5, f4, train)
+        y = UpB(2 * b, name="up2", **kw)(y, f3, train)
+        y = UpB(b, name="up3", **kw)(y, f2, train)
+        y = UpB(b, name="up4", **kw)(y, f1, train)
         logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
         return logits.astype(jnp.float32)

@@ -34,16 +34,71 @@ from fabric_tpu.train.steps import (
 log = logging.getLogger("fabric_tpu")
 
 
-def _epoch(step_fn, state, batches, accumulator, train: bool):
+def _epoch(step_fn, state, batches, accumulator, train: bool,
+           on_first_batch=None):
+    first = True
     for batch in batches:
         if train:
             state, stats = step_fn(state, batch)
         else:
             stats = step_fn(state, batch)
+        if first and on_first_batch is not None:
+            on_first_batch(batch, stats)
+            first = False
         accumulator.update(
             float(stats["loss"]),
             {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
     return state
+
+
+def _denorm_rgb(img: np.ndarray) -> np.ndarray:
+    """RGB preview from a normalized 13-band patch: bands 1:4 reversed
+    (B04,B03,B02 = R,G,B), min-max scaled — reference
+    utils/helpers.py:128-150 semantics in NHWC."""
+    from fabric_tpu.utils.image import scale
+    rgb = np.asarray(img)[..., 1:4][..., ::-1]
+    return scale(rgb).astype(np.uint8)
+
+
+def _log_val_patches(tracker, epoch: int, batch, stats) -> None:
+    """Sample-patch comparison figures on the first val batch
+    (reference log_patches, train.py:141-148 + utils/helpers.py:92-125:
+    every 10th sample of the batch)."""
+    imgs1 = batch.get("img1")
+    if imgs1 is None:  # multi-date: use first/last dates as the pair
+        imgs1 = batch["imgs"][:, 0]
+        imgs2 = batch["imgs"][:, -1]
+    else:
+        imgs2 = batch["img2"]
+    preds = np.asarray(stats["preds"])
+    labels = np.asarray(batch["label"])
+    for sample in range(0, imgs1.shape[0], 10):
+        tracker.log_figure(
+            f"epoch_{epoch}_cd_sample_{sample}",
+            _denorm_rgb(imgs1[sample]), _denorm_rgb(imgs2[sample]),
+            labels[sample], preds[sample])
+
+
+def _log_scene_figure(tracker, cfg, city: str, epoch: int,
+                      mask: np.ndarray) -> None:
+    """2x2 scene comparison (pair previews / groundtruth / prediction),
+    mirroring the reference's log_full_image (utils/inference.py:106-131).
+    Silently skipped if the pair previews are absent."""
+    import os
+    from fabric_tpu.data.oscd import load_label
+    from fabric_tpu.utils.image import read_png_gray, stretch_8bit
+    pair = os.path.join(cfg.dataset_dir, "images", city, "pair")
+    p1, p2 = (os.path.join(pair, f"img{i}.png") for i in (1, 2))
+    if not (os.path.exists(p1) and os.path.exists(p2)):
+        return
+    try:
+        img1 = stretch_8bit(read_png_gray(p1).astype(np.float32))
+        img2 = stretch_8bit(read_png_gray(p2).astype(np.float32))
+        gt = load_label(cfg.dataset_dir, city) * 255
+        tracker.log_figure(f"{city}_epoch_{epoch}_figure",
+                           img1, img2, gt, mask * 255)
+    except Exception:
+        pass
 
 
 def improved(mean_val: dict, best: dict) -> bool:
@@ -122,7 +177,9 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                            pad_mode="mask",
                            max_batches=cfg.steps_per_epoch),
             size=cfg.prefetch, sharding=shardings)
-        _epoch(eval_step, state, val_batches, val_acc, train=False)
+        _epoch(eval_step, state, val_batches, val_acc, train=False,
+               on_first_batch=lambda b, s: _log_val_patches(
+                   tracker, epoch, b, s))
         mean_val = val_acc.means()
         mean_val.update(val_acc.global_prf1())
         tracker.log_metrics(mean_val, step=epoch, prefix="validate_")
@@ -131,11 +188,28 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                   if k.startswith("cd_")})
 
         if run_scene_inference:
+            from fabric_tpu.data.oscd import load_label
+            from fabric_tpu.metrics import prf1_from_counts
             for city in cfg.validation_cities:
                 try:
                     mask = infer_city(infer_step, state, cfg, city,
                                       mesh=mesh, prob_step=prob_step)
                     tracker.log_image(f"{city}_epoch_{epoch}", mask * 255)
+                    _log_scene_figure(tracker, cfg, city, epoch, mask)
+                    # full-scene F1 vs ground truth (the reference only
+                    # logged images; the scene-level metric is new)
+                    label = load_label(cfg.dataset_dir, city)
+                    if label.shape == mask.shape:
+                        tp = int(np.sum((mask == 1) & (label == 1)))
+                        fp = int(np.sum((mask == 1) & (label == 0)))
+                        fn = int(np.sum((mask == 0) & (label == 1)))
+                        p, r, f1 = prf1_from_counts(
+                            {"tp": tp, "fp": fp, "fn": fn})
+                        tracker.log_metrics(
+                            {f"{city}_scene_precision": p,
+                             f"{city}_scene_recall": r,
+                             f"{city}_scene_f1": f1}, step=epoch)
+                        mean_val[f"{city}_scene_f1"] = f1
                 except Exception as e:  # scene missing on disk etc.
                     log.warning("scene inference failed for %s: %s", city, e)
 
