@@ -13,10 +13,12 @@ import sys
 
 def main(argv=None) -> int:
     from fabric_tpu.config import load_config
+    from fabric_tpu.parallel.distributed import maybe_initialize
     from fabric_tpu.train.loop import train
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
+    maybe_initialize()  # no-op on single-host; pods auto-discover topology
     cfg = load_config(argv=sys.argv[1:] if argv is None else argv)
     train(cfg)
     return 0

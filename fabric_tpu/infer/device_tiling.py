@@ -47,12 +47,17 @@ def _gather_tiles(scene: jax.Array, ys: np.ndarray, xs: np.ndarray,
 
 def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
                      batch_size: int = 32, overlap: int = 0,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, mesh=None):
     """Build a jitted ``(variables, scene1, scene2) -> (H, W) mask`` fn.
 
     overlap == 0: reference-exact grid + overwrite stitching, argmax preds.
     overlap > 0: stride = patch - overlap, probability scatter-add average,
     threshold 0.5.
+
+    ``mesh``: shard each tile batch over the mesh's ``data`` axis so a slice
+    processes tiles in parallel over ICI (scenes/params replicated; XLA
+    all-gathers predictions for the stitch).  batch_size must divide by the
+    data axis size.
     """
     h, w = scene_shape
     stride = patch - overlap if overlap else patch
@@ -83,6 +88,11 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
             t2 = jnp.concatenate([t2, zeros])
         t1 = t1.reshape(n_chunks, batch_size, patch, patch, -1)
         t2 = t2.reshape(n_chunks, batch_size, patch, patch, -1)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(mesh, P(None, "data", None, None, None))
+            t1 = jax.lax.with_sharding_constraint(t1, spec)
+            t2 = jax.lax.with_sharding_constraint(t2, spec)
         outs = jax.lax.map(lambda ab: forward(variables, *ab), (t1, t2))
         outs = outs.reshape(-1, patch, patch)[:k + pad]
 

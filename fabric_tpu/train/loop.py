@@ -35,7 +35,7 @@ log = logging.getLogger("fabric_tpu")
 
 
 def _epoch(step_fn, state, batches, accumulator, train: bool,
-           on_first_batch=None):
+           on_first_batch=None, on_step=None):
     first = True
     for batch in batches:
         if train:
@@ -48,6 +48,8 @@ def _epoch(step_fn, state, batches, accumulator, train: bool,
         accumulator.update(
             float(stats["loss"]),
             {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
+        if on_step is not None:
+            on_step(state)
     return state
 
 
@@ -91,9 +93,11 @@ def _log_scene_figure(tracker, cfg, city: str, epoch: int,
     p1, p2 = (os.path.join(pair, f"img{i}.png") for i in (1, 2))
     if not (os.path.exists(p1) and os.path.exists(p2)):
         return
+    lo = cfg.stretch_8bit.get("lower", 2)
+    hi = cfg.stretch_8bit.get("higher", 98)
     try:
-        img1 = stretch_8bit(read_png_gray(p1).astype(np.float32))
-        img2 = stretch_8bit(read_png_gray(p2).astype(np.float32))
+        img1 = stretch_8bit(read_png_gray(p1).astype(np.float32), lo, hi)
+        img2 = stretch_8bit(read_png_gray(p2).astype(np.float32), lo, hi)
         gt = load_label(cfg.dataset_dir, city) * 255
         tracker.log_figure(f"{city}_epoch_{epoch}_figure",
                            img1, img2, gt, mask * 255)
@@ -130,7 +134,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     shardings = batch_shardings(mesh, multi_date=multi_date)
 
     log.info("loading dataset from %s", cfg.dataset_dir)
-    data = dataset if dataset is not None else full_load(cfg.dataset_dir, cfg)
+    data = dataset if dataset is not None else full_load(
+        cfg.dataset_dir, cfg, max_workers=cfg.num_workers or None)
     train_md, val_md = get_train_val_metadata(
         cfg.dataset_dir, cfg.validation_cities, cfg.patch_size, cfg.stride)
     log.info("train samples: %d  val samples: %d", len(train_md), len(val_md))
@@ -164,7 +169,19 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                            pad_mode="wrap", seed=cfg.seed + epoch,
                            max_batches=cfg.steps_per_epoch),
             size=cfg.prefetch, sharding=shardings)
-        state = _epoch(train_step, state, batches, train_acc, train=True)
+
+        on_step = None
+        if cfg.checkpoint_every > 0:
+            # periodic step-based checkpointing (fault tolerance: resume
+            # loses at most checkpoint_every steps; the reference could
+            # only restart from scratch — SURVEY.md §5)
+            def on_step(s, _epoch=epoch):
+                if int(s.step) % cfg.checkpoint_every == 0:
+                    ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
+                              metadata={"periodic": True})
+
+        state = _epoch(train_step, state, batches, train_acc, train=True,
+                       on_step=on_step)
         mean_train = train_acc.means()
         tracker.log_metrics(mean_train, step=epoch, prefix="train_")
         log.info("epoch %d train %s", epoch,

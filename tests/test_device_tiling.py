@@ -52,3 +52,17 @@ def test_device_matches_host_overlap_mode(setup):
                            overlap=8, dtype=jnp.float32)
     dev = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_device_tiling_sharded_over_mesh(setup):
+    import jax
+    from fabric_tpu.parallel.mesh import make_mesh
+    cfg, model, state, variables, d1, d2 = setup
+    single = make_scene_infer(model, 16, d1.shape[:2], batch_size=8,
+                              dtype=jnp.float32)
+    ref = np.asarray(single(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    mesh = make_mesh(data=8)
+    sharded = make_scene_infer(model, 16, d1.shape[:2], batch_size=8,
+                               dtype=jnp.float32, mesh=mesh)
+    got = np.asarray(sharded(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_array_equal(got, ref)
