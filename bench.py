@@ -36,9 +36,10 @@ BASELINE_MPX_PER_SEC = 2.4  # estimated reference per-P100 rate (see above)
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     # defaults = best measured config on the v5e chip (see memory notes:
-    # p96/b32 45.8, p96/b256 56.7, p128/b128 62.6 Mpx/s at 2048^2)
+    # p96/b32 45.8, p96/b256 56.7, p128/b128 62.6 Mpx/s at 2048^2);
+    # --patch default resolves per workload: 128 for infer, 96 for train.
     ap.add_argument("--size", type=int, default=2048)
-    ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--patch", type=int, default=None)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--overlap", type=int, default=0)
@@ -46,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold BN into conv weights before benchmarking")
+    ap.add_argument("--workload", choices=["infer", "train"],
+                    default="infer",
+                    help="infer = whole-scene throughput (the headline "
+                         "metric); train = train-step examples/sec")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,6 +65,11 @@ def main(argv=None) -> int:
     from fabric_tpu.config import Config
     from fabric_tpu.models import build_model
     from fabric_tpu.train.state import create_state
+
+    if args.patch is None:
+        args.patch = 96 if args.workload == "train" else 128
+    if args.workload == "train":
+        return _bench_train(args)
 
     cfg = Config(dtype=args.dtype, patch_size=args.patch,
                  eval_batch_size=args.batch)
@@ -136,6 +146,62 @@ def main(argv=None) -> int:
             "steady_state_s_per_scene": round(elapsed, 4),
             "baseline_note": "est. reference P100 rate 2.4 Mpx/s (see docstring)",
         },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def _bench_train(args) -> int:
+    """Train-step throughput: examples/sec on the reference train config
+    (90x90 patches, tversky, SGD — metadata.json:32-44), bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+    from fabric_tpu.config import Config
+    from fabric_tpu.losses import get_loss_fn
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+    from fabric_tpu.train.steps import make_train_step
+
+    patch = args.patch
+    cfg = Config(dtype=args.dtype, patch_size=patch, batch_size=args.batch)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    step = make_train_step(model, get_loss_fn(cfg))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "img1": jnp.asarray(rng.randn(args.batch, patch, patch, 13),
+                            jnp.float32),
+        "img2": jnp.asarray(rng.randn(args.batch, patch, patch, 13),
+                            jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 2, (args.batch, patch, patch)),
+                             jnp.int32),
+        "weight": jnp.ones(args.batch, jnp.float32),
+    }
+
+    def sync(s):
+        return np.asarray(jnp.sum(
+            jax.tree_util.tree_leaves(s.params)[0].astype(jnp.float32)))
+
+    t0 = time.time()
+    state, _ = step(state, batch)
+    sync(state)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, stats = step(state, batch)
+    sync(state)
+    elapsed = (time.time() - t0) / args.iters
+    result = {
+        "metric": "train_step_throughput",
+        "value": round(args.batch / elapsed, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": None,
+        "detail": {"patch": patch, "batch": args.batch, "dtype": args.dtype,
+                   "iters": args.iters,
+                   "step_ms": round(elapsed * 1000, 2),
+                   "compile_s": round(compile_s, 1),
+                   "backend": jax.default_backend()},
     }
     print(json.dumps(result))
     return 0

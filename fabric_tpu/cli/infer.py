@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     if not cfg.resume:
         print("error: --resume <checkpoint> is required", file=sys.stderr)
         return 2
+    from fabric_tpu.data.download import ensure_dataset
+    cfg.dataset_dir = ensure_dataset(cfg)
     mesh = make_mesh_from_config(cfg)
     model = build_model(cfg)
     state = create_state(cfg, model)

@@ -116,6 +116,11 @@ def improved(mean_val: dict, best: dict) -> bool:
 def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
           run_scene_inference: bool = True):
     """Run the full training driver; returns (state, history dict)."""
+    if dataset is None:
+        # resolve before log_params so the recorded config matches what is
+        # actually read (archives may nest the dataset one level down)
+        from fabric_tpu.data.download import ensure_dataset
+        cfg.dataset_dir = ensure_dataset(cfg)
     tracker = tracker or Tracker(cfg.log_dir)
     tracker.log_params(cfg.to_dict())
 
