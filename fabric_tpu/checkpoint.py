@@ -64,16 +64,28 @@ def restore(state, path: str):
                          step=int(payload["step"]))
 
 
-def latest_checkpoint(directory: str, tag: str = "checkpoint") -> str | None:
-    """Highest-epoch checkpoint path in a directory, or None."""
+def latest_checkpoint(directory: str, tag: str | None = None) -> str | None:
+    """Most-recent checkpoint path in a directory, or None.
+
+    With ``tag=None`` both best-metric ("checkpoint") and step-based
+    ("periodic") checkpoints are considered; ties on epoch resolve by file
+    mtime so a mid-epoch periodic save beats the epoch's best-metric save
+    it postdates.
+    """
     if not os.path.isdir(directory):
         return None
-    pat = re.compile(rf"{re.escape(tag)}_epoch_(\d+)\.msgpack$")
-    best, best_epoch = None, -1
-    for name in os.listdir(directory):
-        m = pat.match(name)
-        if m and int(m.group(1)) > best_epoch:
-            best, best_epoch = os.path.join(directory, name), int(m.group(1))
+    tags = [tag] if tag else ["checkpoint", "periodic"]
+    best, best_key = None, (-1, -1.0)
+    for t in tags:
+        pat = re.compile(rf"{re.escape(t)}_epoch_(\d+)\.msgpack$")
+        for name in os.listdir(directory):
+            m = pat.match(name)
+            if not m:
+                continue
+            path = os.path.join(directory, name)
+            key = (int(m.group(1)), os.path.getmtime(path))
+            if key > best_key:
+                best, best_key = path, key
     return best
 
 

@@ -1,0 +1,108 @@
+"""Optional Grain-backed input pipeline.
+
+The default pipeline (fabric_tpu/data/pipeline.py) is a thread-prefetched
+numpy iterator — right-sized for OSCD, which fits in RAM.  This module
+offers the same batch contract through Grain (google/grain), the
+deterministic, checkpointable, multi-worker input framework — the
+"tf.data/Grain" option named in the north star — for deployments where the
+patch set outgrows a single process: sharding over Grain workers,
+reproducible global shuffles, and iterator checkpointing come for free.
+
+Gated: importing this module requires ``grain``; the rest of fabric_tpu
+never does.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+import grain.python as grain
+
+
+class _PatchSource(grain.RandomAccessDataSource):
+    """Random-access view over (city, i, j) patch coordinates backed by the
+    in-RAM dataset dict (same crop semantics as PatchSampler)."""
+
+    def __init__(self, dataset: dict, metadata: list, patch_size: int,
+                 multi_date: bool):
+        self._dataset = dataset
+        self._metadata = list(metadata)
+        self._ps = patch_size
+        self._multi = multi_date
+
+    def __len__(self) -> int:
+        return len(self._metadata)
+
+    def __getitem__(self, index: int):
+        city, x, y = self._metadata[index]
+        s = self._ps
+        entry = self._dataset[city]
+        img = np.ascontiguousarray(entry["images"][:, x:x + s, y:y + s, :])
+        lbl = np.ascontiguousarray(entry["labels"][x:x + s, y:y + s])
+        return {"img": img, "label": lbl.astype(np.int32)}
+
+
+class _Augment(grain.RandomMapTransform):
+    """Reference augmentations (rot90 k + H/V flips, dataloaders.py:148-165)
+    with Grain's per-record deterministic RNG."""
+
+    def random_map(self, element, rng: np.random.Generator):
+        img, lbl = element["img"], element["label"]
+        k = int(rng.integers(0, 4))
+        if k:
+            img = np.rot90(img, k, axes=(1, 2))
+            lbl = np.rot90(lbl, k, axes=(0, 1))
+        if rng.random() > 0.5:
+            img = np.flip(img, axis=1)
+            lbl = np.flip(lbl, axis=0)
+        if rng.random() > 0.5:
+            img = np.flip(img, axis=2)
+            lbl = np.flip(lbl, axis=1)
+        return {"img": np.ascontiguousarray(img),
+                "label": np.ascontiguousarray(lbl)}
+
+
+class _ToBatch(grain.MapTransform):
+    def __init__(self, multi_date: bool):
+        self._multi = multi_date
+
+    def map(self, batch):
+        out = {"label": batch["label"],
+               "weight": np.ones(batch["label"].shape[0], np.float32)}
+        if self._multi:
+            out["imgs"] = batch["img"]
+        else:
+            out["img1"] = batch["img"][:, 0]
+            out["img2"] = batch["img"][:, 1]
+        return out
+
+
+def grain_batch_iterator(dataset: dict, metadata: list, patch_size: int,
+                         batch_size: int, *, shuffle: bool, augment: bool,
+                         seed: int = 0, multi_date: bool = False,
+                         num_epochs: int = 1,
+                         worker_count: int = 0) -> Iterator[dict]:
+    """Grain DataLoader yielding the same batch dicts as batch_iterator.
+
+    drop_remainder=True keeps shapes static (the numpy pipeline wrap-pads
+    instead); use the default pipeline when every sample must be seen
+    exactly once per epoch.
+    """
+    source = _PatchSource(dataset, metadata, patch_size, multi_date)
+    sampler = grain.IndexSampler(
+        num_records=len(source),
+        shuffle=shuffle,
+        seed=seed,
+        num_epochs=num_epochs,
+        shard_options=grain.NoSharding(),
+    )
+    ops = []
+    if augment:
+        ops.append(_Augment())
+    ops.append(grain.Batch(batch_size=batch_size, drop_remainder=True))
+    ops.append(_ToBatch(multi_date))
+    loader = grain.DataLoader(data_source=source, sampler=sampler,
+                              operations=ops, worker_count=worker_count)
+    yield from loader

@@ -32,9 +32,21 @@ def _axis_positions(size: int, patch: int, stride: int) -> np.ndarray:
     return np.asarray(pos, np.int32)
 
 
+def _is_aligned(positions: np.ndarray, size: int, patch: int) -> bool:
+    """True when the positions are exactly the non-overlapping partition of
+    an evenly-divisible axis — tiling is then a pure reshape."""
+    return size % patch == 0 and np.array_equal(
+        positions, np.arange(0, size, patch))
+
+
 def _gather_tiles(scene: jax.Array, ys: np.ndarray, xs: np.ndarray,
                   patch: int) -> jax.Array:
     """(K, patch, patch, C) tiles from (H, W, C), K = len(ys)*len(xs)."""
+    h, w, c = scene.shape
+    if _is_aligned(ys, h, patch) and _is_aligned(xs, w, patch):
+        # evenly-divisible scene: tiling is a zero-gather reshape/transpose
+        t = scene.reshape(len(ys), patch, len(xs), patch, c)
+        return t.transpose(0, 2, 1, 3, 4).reshape(-1, patch, patch, c)
     row_idx = ys[:, None] + np.arange(patch)[None, :]      # (ny, p)
     col_idx = xs[:, None] + np.arange(patch)[None, :]      # (nx, p)
     rows = scene[row_idx.reshape(-1)]                      # (ny*p, W, C)
@@ -115,6 +127,11 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
             (acc, cnt), _ = jax.lax.scan(
                 add, (acc0, cnt0), (outs[:k], jnp.asarray(origins[:k])))
             return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
+
+        if _is_aligned(ys, h, patch) and _is_aligned(xs, w, patch):
+            # evenly-divisible scene: stitch is the inverse reshape
+            t = outs[:k].reshape(len(ys), len(xs), patch, patch)
+            return t.transpose(0, 2, 1, 3).reshape(h, w)
 
         canvas = jnp.zeros((h, w), jnp.uint8)
 

@@ -1,0 +1,124 @@
+"""ScenePredictor: production serving for whole-scene change detection.
+
+Ties the inference stack together for deployment: load a checkpoint once,
+fold BN, and predict arbitrarily-sized scenes through compile-amortized
+buckets — city scenes come in many shapes, and jit compiles per shape, so
+scenes are edge-padded up to the next bucket and the mask is cropped back.
+One compilation serves every scene that falls in the same bucket (the
+reference re-tiled and re-transferred per batch per scene with no compile
+reuse at all, train.py:187-201).
+
+Note on semantics: bucket padding shifts the remainder-tile anchors of the
+reference-exact grid to the padded extent, so predictions in the last
+partial-tile band may differ slightly from the unbucketed reference path
+(interior pixels are identical; overlap mode is unaffected because
+probabilities are averaged).  Use ``bucket=0`` for bit-exact reference
+tiling at the cost of one compile per distinct scene shape.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+log = logging.getLogger("fabric_tpu")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ScenePredictor:
+    """Checkpoint-backed whole-scene change-map server.
+
+    Args:
+      cfg: Config (model/patch/batch/dtype/overlap settings).
+      checkpoint: path or directory (latest is taken) — optional; fresh
+        random weights if omitted (benchmarks).
+      bucket: scene dims are edge-padded up to multiples of this (0 =
+        exact shapes, one compile per distinct shape).
+      fold_bn: fold BatchNorm into conv weights (inference-only transform).
+      mesh: optional Mesh to shard tile batches over its 'data' axis.
+    """
+
+    def __init__(self, cfg, checkpoint: str | None = None, bucket: int = 512,
+                 fold_bn: bool = True, mesh=None):
+        from fabric_tpu import checkpoint as ckpt
+        from fabric_tpu.models import build_model
+        from fabric_tpu.train.state import create_state
+
+        self.cfg = cfg
+        self.bucket = bucket
+        self.mesh = mesh
+        self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+        model = build_model(cfg)
+        state = create_state(cfg, model)
+        if checkpoint:
+            import os
+            path = checkpoint
+            if os.path.isdir(path):
+                path = ckpt.latest_checkpoint(path)
+                if path is None:
+                    raise FileNotFoundError(
+                        f"no checkpoint found in {checkpoint!r}")
+            state = ckpt.restore(state, path)
+            log.info("loaded checkpoint %s", path)
+
+        if fold_bn and cfg.model == "bidate" and not cfg.use_pallas:
+            from fabric_tpu.models import BiDateNet
+            from fabric_tpu.ops.fold_bn import fold_batchnorm
+            self.model = BiDateNet(
+                n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                base=getattr(cfg, "model_base", 0) or 64,
+                dtype=self.dtype, fold_bn=True)
+            self.variables = {
+                "params": fold_batchnorm(state.params, state.batch_stats),
+                "batch_stats": {}}
+        else:
+            self.model = model
+            self.variables = {"params": state.params,
+                              "batch_stats": state.batch_stats}
+        self._compiled: dict[tuple[int, int], object] = {}
+
+    def _get_runner(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._compiled:
+            from fabric_tpu.infer.device_tiling import make_scene_infer
+            log.info("compiling scene runner for %dx%d", h, w)
+            self._compiled[key] = make_scene_infer(
+                self.model, self.cfg.patch_size, (h, w),
+                batch_size=self.cfg.eval_batch_size,
+                overlap=getattr(self.cfg, "infer_overlap", 0),
+                dtype=self.dtype, mesh=self.mesh)
+        return self._compiled[key]
+
+    def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+        """(H, W, C) scene pair -> (H, W) uint8 change mask."""
+        h, w = d1.shape[:2]
+        patch = self.cfg.patch_size
+        if self.bucket:
+            ph = max(_round_up(h, self.bucket), patch)
+            pw = max(_round_up(w, self.bucket), patch)
+        else:
+            ph, pw = max(h, patch), max(w, patch)
+        if (ph, pw) != (h, w):
+            pads = [(0, ph - h), (0, pw - w), (0, 0)]
+            d1 = np.pad(d1, pads, mode="edge")
+            d2 = np.pad(d2, pads, mode="edge")
+        run = self._get_runner(ph, pw)
+        mask = run(self.variables, jnp.asarray(d1, self.dtype),
+                   jnp.asarray(d2, self.dtype))
+        return np.asarray(mask)[:h, :w]
+
+    def predict_city(self, city: str) -> np.ndarray:
+        from fabric_tpu.data.oscd import load_city
+        from fabric_tpu.infer.runner import scene_dims
+        dims = scene_dims(self.cfg.dataset_dir, city, self.cfg)
+        stacked = load_city(self.cfg.dataset_dir, city, self.cfg,
+                            out_shape=dims, num_dates=2)
+        return self.predict(stacked[0], stacked[1])

@@ -67,3 +67,22 @@ def test_metadata_sidecar_written(tmp_path):
     with open(os.path.join(str(tmp_path), "metadata_epoch_2.json")) as fin:
         meta = json.load(fin)
     assert meta["epoch"] == 2 and meta["loss_function"] == "dice"
+
+
+def test_latest_prefers_newer_periodic(tmp_path):
+    import time
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    ckpt.save(state, str(tmp_path), epoch=1, tag="checkpoint")
+    time.sleep(0.05)
+    ckpt.save(state.replace(step=77), str(tmp_path), epoch=1, tag="periodic")
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert "periodic_epoch_1" in latest
+    # resume picks it up and restores the step
+    cfg2 = _small_cfg(tmp_path, resume=str(tmp_path))
+    resumed, epoch = ckpt.resume_if_requested(cfg2, create_state(cfg2, model))
+    assert epoch == 1 and resumed.step == 77
+    # tag-filtered lookup still works
+    only_best = ckpt.latest_checkpoint(str(tmp_path), tag="checkpoint")
+    assert "checkpoint_epoch_1" in only_best
