@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fold_bn", action="store_true",
                     help="fold BN into conv weights before benchmarking")
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="route eligible convs through the Pallas kernel "
+                         "(measured slower than XLA end-to-end; see "
+                         "ops/pallas_conv.py)")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -76,12 +80,13 @@ def main(argv=None) -> int:
     model = build_model(cfg)
     state = create_state(cfg, model, sample_shape=(args.patch, args.patch))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if args.fold_bn:
+    if args.fold_bn or args.use_pallas:
         from fabric_tpu.models import BiDateNet
         from fabric_tpu.ops.fold_bn import fold_batchnorm
         import jax.numpy as _jnp
         model = BiDateNet(dtype=_jnp.bfloat16 if args.dtype == "bfloat16"
-                          else _jnp.float32, fold_bn=True)
+                          else _jnp.float32, fold_bn=True,
+                          use_pallas=args.use_pallas)
         variables = {"params": fold_batchnorm(state.params,
                                               state.batch_stats),
                      "batch_stats": {}}

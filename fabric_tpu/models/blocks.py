@@ -40,6 +40,16 @@ class DoubleConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(2):
+            if self.fold_bn and self.use_pallas:
+                assert not train, "fold_bn is an inference-only transform"
+                from fabric_tpu.ops.pallas_conv import supports
+                if supports(x.shape, x.shape[-1], self.features,
+                            x.dtype.itemsize):
+                    # fused conv+bias+relu Pallas kernel; same param tree
+                    # ('convN'/kernel+bias) as nn.Conv
+                    x = _PallasConvRelu(self.features, dtype=self.dtype,
+                                        name=f"conv{i + 1}")(x)
+                    continue
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             if self.fold_bn:
@@ -58,6 +68,25 @@ class DoubleConv(nn.Module):
                          axis_name=self.bn_axis_name if train else None,
                          name=f"bn{i + 1}")(x)
         return nn.relu(x).astype(self.dtype)
+
+
+class _PallasConvRelu(nn.Module):
+    """Fused conv3x3+bias+ReLU via ops/pallas_conv.py, parameter-compatible
+    with nn.Conv (same 'kernel'/'bias' names, so the fold_bn param tree
+    drops in unchanged)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from fabric_tpu.ops.pallas_conv import conv3x3_bias_relu
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return conv3x3_bias_relu(x.astype(self.dtype),
+                                 kernel.astype(self.dtype), bias)
 
 
 class Down(nn.Module):
