@@ -19,3 +19,15 @@ this package implements.
 __version__ = "0.1.0"
 
 from fabric_tpu.config import Config, load_config  # noqa: F401
+
+
+def train(cfg, **kwargs):
+    """Run the training driver (see fabric_tpu.train.loop.train)."""
+    from fabric_tpu.train.loop import train as _train
+    return _train(cfg, **kwargs)
+
+
+def scene_predictor(cfg, checkpoint=None, **kwargs):
+    """Build a serving ScenePredictor (see fabric_tpu.infer.service)."""
+    from fabric_tpu.infer.service import ScenePredictor
+    return ScenePredictor(cfg, checkpoint=checkpoint, **kwargs)
