@@ -21,8 +21,13 @@ __version__ = "0.1.0"
 from fabric_tpu.config import Config, load_config  # noqa: F401
 
 
-def train(cfg, **kwargs):
-    """Run the training driver (see fabric_tpu.train.loop.train)."""
+def run_training(cfg, **kwargs):
+    """Run the training driver (see fabric_tpu.train.loop.train).
+
+    Named run_training (not train) because ``fabric_tpu.train`` is the
+    subpackage — a same-named function would be clobbered by Python's
+    submodule attribute binding on first import of fabric_tpu.train.*.
+    """
     from fabric_tpu.train.loop import train as _train
     return _train(cfg, **kwargs)
 

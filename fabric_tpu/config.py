@@ -108,7 +108,9 @@ class Config:
     remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
     eval_batch_size: int = 0  # 0 = use batch_size
-    log_every: int = 1  # batches between tracker metric writes
+    # batches between per-batch tracker metric writes; 0 (default) streams
+    # per-epoch only (set 1 for the reference's every-batch comet behavior)
+    log_every: int = 0
     infer_overlap: int = 0  # overlap (px) for overlap-averaged stitching; 0 = ref grid
     steps_per_epoch: int = 0  # 0 = full pass; >0 caps batches per epoch (debug)
 

@@ -78,23 +78,32 @@ class MetricAccumulator:
             "cd_losses": [], "cd_corrects": [], "cd_precisions": [],
             "cd_recalls": [], "cd_f1scores": [],
         }
+        self._sums = {k: 0.0 for k in self.lists}
+        self._n = 0
         self._tp = self._fp = self._fn = self._tn = 0
 
     def update(self, loss: float, counts: dict) -> None:
         counts = {k: int(v) for k, v in counts.items()}
         precision, recall, f1 = prf1_from_counts(counts)
-        self.lists["cd_losses"].append(float(loss))
-        self.lists["cd_corrects"].append(accuracy_pct(counts))
-        self.lists["cd_precisions"].append(precision)
-        self.lists["cd_recalls"].append(recall)
-        self.lists["cd_f1scores"].append(f1)
+        values = {"cd_losses": float(loss),
+                  "cd_corrects": accuracy_pct(counts),
+                  "cd_precisions": precision,
+                  "cd_recalls": recall,
+                  "cd_f1scores": f1}
+        for k, v in values.items():
+            self.lists[k].append(v)
+            self._sums[k] += v
+        self._n += 1
         self._tp += counts["tp"]
         self._fp += counts["fp"]
         self._fn += counts["fn"]
         self._tn += counts["tn"]
 
     def means(self) -> dict[str, float]:
-        return {k: float(np.mean(v)) if v else 0.0 for k, v in self.lists.items()}
+        # O(1) running means (this is called per batch when streaming)
+        if not self._n:
+            return {k: 0.0 for k in self.lists}
+        return {k: s / self._n for k, s in self._sums.items()}
 
     def global_prf1(self) -> dict[str, float]:
         counts = {"tp": self._tp, "fp": self._fp, "fn": self._fn, "tn": self._tn}

@@ -35,9 +35,10 @@ log = logging.getLogger("fabric_tpu")
 
 
 def _epoch(step_fn, state, batches, accumulator, train: bool,
-           on_first_batch=None, on_step=None):
+           on_first_batch=None, on_step=None, tracker=None,
+           log_every: int = 0, prefix: str = ""):
     first = True
-    for batch in batches:
+    for i, batch in enumerate(batches):
         if train:
             state, stats = step_fn(state, batch)
         else:
@@ -48,6 +49,11 @@ def _epoch(step_fn, state, batches, accumulator, train: bool,
         accumulator.update(
             float(stats["loss"]),
             {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
+        if tracker is not None and log_every and (i + 1) % log_every == 0:
+            # per-batch running-mean stream, the reference's comet channel
+            # (train.py:114-115); mean-of-batches semantics preserved
+            tracker.log_metrics(accumulator.means(), prefix=prefix,
+                                step=int(state.step) if train else i + 1)
         if on_step is not None:
             on_step(state)
     return state
@@ -186,7 +192,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                               metadata={"periodic": True})
 
         state = _epoch(train_step, state, batches, train_acc, train=True,
-                       on_step=on_step)
+                       on_step=on_step, tracker=tracker,
+                       log_every=cfg.log_every, prefix="batch_train_")
         mean_train = train_acc.means()
         tracker.log_metrics(mean_train, step=epoch, prefix="train_")
         log.info("epoch %d train %s", epoch,
@@ -201,7 +208,9 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
             size=cfg.prefetch, sharding=shardings)
         _epoch(eval_step, state, val_batches, val_acc, train=False,
                on_first_batch=lambda b, s: _log_val_patches(
-                   tracker, epoch, b, s))
+                   tracker, epoch, b, s),
+               tracker=tracker, log_every=cfg.log_every,
+               prefix="batch_validate_")
         mean_val = val_acc.means()
         mean_val.update(val_acc.global_prf1())
         tracker.log_metrics(mean_val, step=epoch, prefix="validate_")

@@ -49,3 +49,21 @@ def test_roundtrip_dict():
     cfg = Config(batch_size=4)
     cfg2 = Config.from_dict(cfg.to_dict())
     assert cfg2.batch_size == 4 and cfg2.band_ids == cfg.band_ids
+
+
+def test_loads_actual_reference_metadata_json():
+    """The reference's shipped metadata.json must load unchanged."""
+    import os
+    path = "/root/reference/metadata.json"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference not mounted")
+    cfg = load_config(argv=["--config", path])
+    assert cfg.patch_size == 90 and cfg.stride == 180
+    assert cfg.loss_function == "tversky"
+    assert cfg.tversky_alpha == 0.1 and cfg.tversky_beta == 0.9
+    assert cfg.validation_cities == ["cupertino", "rennes"]
+    assert cfg.dataset_name == "onera_w_mask.tar.gz"
+    assert cfg.num_gpus == 1  # accepted for compat even though unused
+    means, stds = cfg.band_stats_arrays()
+    assert means.shape == (13,)
