@@ -91,11 +91,12 @@ def main(argv=None) -> int:
                                               state.batch_stats),
                      "batch_stats": {}}
 
-    rng = np.random.RandomState(0)
     shape = (args.size, args.size, 13)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    d1 = jax.device_put(jnp.asarray(rng.randn(*shape), dt))
-    d2 = jax.device_put(jnp.asarray(rng.randn(*shape), dt))
+    # generate scenes on-device: an 8192^2 host float64 array would be 7 GB
+    key = jax.random.PRNGKey(0)
+    d1 = jax.random.normal(key, shape, dt)
+    d2 = jax.random.normal(jax.random.PRNGKey(1), shape, dt)
 
     if args.mode == "device":
         from fabric_tpu.infer.device_tiling import make_scene_infer

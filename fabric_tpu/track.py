@@ -21,8 +21,10 @@ from fabric_tpu.utils.image import write_png, scale
 
 
 class Tracker:
-    def __init__(self, log_dir: str, run_name: str | None = None):
-        run_name = run_name or time.strftime("run_%Y%m%d_%H%M%S")
+    def __init__(self, log_dir: str, run_name: str | None = None,
+                 project: str | None = None):
+        run_name = run_name or time.strftime(
+            f"{project or 'run'}_%Y%m%d_%H%M%S")
         self.dir = os.path.join(log_dir, run_name)
         os.makedirs(self.dir, exist_ok=True)
         self._metrics_file = open(os.path.join(self.dir, "metrics.jsonl"), "a")

@@ -127,7 +127,7 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         # actually read (archives may nest the dataset one level down)
         from fabric_tpu.data.download import ensure_dataset
         cfg.dataset_dir = ensure_dataset(cfg)
-    tracker = tracker or Tracker(cfg.log_dir)
+    tracker = tracker or Tracker(cfg.log_dir, project=cfg.project_name)
     tracker.log_params(cfg.to_dict())
 
     mesh = make_mesh_from_config(cfg)
