@@ -57,7 +57,24 @@ def restore(state, path: str):
         "step": 0,
     }
     with open(path, "rb") as fin:
-        payload = serialization.from_bytes(target, fin.read())
+        try:
+            payload = serialization.from_bytes(target, fin.read())
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"checkpoint {path!r} does not match the configured model/"
+                f"optimizer (wrong --model/--model_base/--optimizer?): {e}"
+            ) from e
+    # flax restores arrays without shape validation; catch silent mismatch
+    for (kp, exp), got in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_leaves(payload["params"])):
+        if getattr(exp, "shape", None) != getattr(got, "shape", None):
+            raise ValueError(
+                f"checkpoint {path!r} does not match the configured model: "
+                f"param {jax.tree_util.keystr(kp)} has shape "
+                f"{getattr(got, 'shape', None)} in the checkpoint but "
+                f"{getattr(exp, 'shape', None)} in the model "
+                f"(wrong --model/--model_base?)")
     return state.replace(params=payload["params"],
                          batch_stats=payload["batch_stats"],
                          opt_state=payload["opt_state"],

@@ -86,3 +86,17 @@ def test_latest_prefers_newer_periodic(tmp_path):
     # tag-filtered lookup still works
     only_best = ckpt.latest_checkpoint(str(tmp_path), tag="checkpoint")
     assert "checkpoint_epoch_1" in only_best
+
+
+def test_restore_mismatched_model_clear_error(tmp_path):
+    import pytest
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    path = ckpt.save(state, str(tmp_path), epoch=0)
+    # a differently-sized model must fail with a pointed message
+    cfg2 = Config(patch_size=16, dtype="float32", model_base=8,
+                  weight_dir=str(tmp_path))
+    small = create_state(cfg2, build_model(cfg2))
+    with pytest.raises(ValueError, match="does not match the configured"):
+        ckpt.restore(small, path)
