@@ -36,7 +36,10 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
         "step": int(state.step),
     }
     path = os.path.join(directory, f"{tag}_epoch_{epoch}.msgpack")
-    tmp = path + ".tmp"
+    # tmp name unique per process: concurrent writers (a misconfigured
+    # multi-host run where every process saves) can interleave but never
+    # corrupt — the os.replace stays atomic per writer
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as fout:
         # to_bytes = to_state_dict (tuples/namedtuples -> dicts) + msgpack
         fout.write(serialization.to_bytes(payload))
@@ -45,7 +48,36 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
     meta.update({"epoch": epoch, "step": int(state.step)})
     with open(os.path.join(directory, f"metadata_epoch_{epoch}.json"), "w") as fout:
         json.dump(meta, fout, indent=2, default=float)
+    _write_pointer(directory, "latest", path, epoch, tag)
+    if tag == "checkpoint":
+        # best-metric saves (the loop only calls tag="checkpoint" on
+        # improvement) also update the best pointer
+        _write_pointer(directory, "best", path, epoch, tag)
     return path
+
+
+def _write_pointer(directory: str, name: str, path: str, epoch: int,
+                   tag: str) -> None:
+    ptr = os.path.join(directory, f"{name}.json")
+    tmp = f"{ptr}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fout:
+        json.dump({"file": os.path.basename(path), "epoch": epoch,
+                   "tag": tag}, fout)
+    os.replace(tmp, ptr)
+
+
+def read_pointer(directory: str, name: str) -> str | None:
+    """Resolve a ``latest``/``best`` pointer file to a checkpoint path."""
+    ptr = os.path.join(directory, f"{name}.json")
+    if not os.path.exists(ptr):
+        return None
+    try:
+        with open(ptr) as fin:
+            rec = json.load(fin)
+        path = os.path.join(directory, rec["file"])
+    except (ValueError, KeyError, TypeError):
+        return None
+    return path if os.path.exists(path) else None
 
 
 def restore(state, path: str):
@@ -84,13 +116,18 @@ def restore(state, path: str):
 def latest_checkpoint(directory: str, tag: str | None = None) -> str | None:
     """Most-recent checkpoint path in a directory, or None.
 
-    With ``tag=None`` both best-metric ("checkpoint") and step-based
-    ("periodic") checkpoints are considered; ties on epoch resolve by file
-    mtime so a mid-epoch periodic save beats the epoch's best-metric save
-    it postdates.
+    The ``latest.json`` pointer written by :func:`save` is authoritative;
+    directories from older runs (or with a deleted pointer) fall back to a
+    filename scan where, with ``tag=None``, both best-metric ("checkpoint")
+    and step-based ("periodic") checkpoints are considered and ties on epoch
+    resolve by file mtime.
     """
     if not os.path.isdir(directory):
         return None
+    if tag is None:
+        pointed = read_pointer(directory, "latest")
+        if pointed is not None:
+            return pointed
     tags = [tag] if tag else ["checkpoint", "periodic"]
     best, best_key = None, (-1, -1.0)
     for t in tags:
@@ -108,17 +145,32 @@ def latest_checkpoint(directory: str, tag: str | None = None) -> str | None:
 
 def resume_if_requested(cfg, state):
     """Honor cfg.resume: '' → fresh; a file → load it; a dir → load latest.
-    Returns (state, resumed_epoch) where resumed_epoch is -1 when fresh."""
+
+    Returns (state, resumed_epoch, metadata): resumed_epoch is -1 and
+    metadata {} when fresh; otherwise metadata is the checkpoint's JSON
+    sidecar (so the loop can seed its best-metric tracking from the saved
+    ``validation_metrics`` instead of re-checkpointing a regression as a
+    "new best" — advisor finding r1).
+    """
     target = getattr(cfg, "resume", "")
     if not target:
-        return state, -1
+        return state, -1, {}
     path = target
     if os.path.isdir(target):
         path = latest_checkpoint(target)
         if path is None:
-            return state, -1
+            return state, -1, {}
     epoch = -1
     m = re.search(r"_epoch_(\d+)\.msgpack$", path)
     if m:
         epoch = int(m.group(1))
-    return restore(state, path), epoch
+    meta = {}
+    sidecar = os.path.join(os.path.dirname(path),
+                           f"metadata_epoch_{epoch}.json")
+    if epoch >= 0 and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fin:
+                meta = json.load(fin)
+        except ValueError:
+            meta = {}
+    return restore(state, path), epoch, meta

@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     mesh = make_mesh_from_config(cfg)
     model = build_model(cfg)
     state = create_state(cfg, model)
-    state, _ = ckpt.resume_if_requested(cfg, state)
+    state, _, _ = ckpt.resume_if_requested(cfg, state)
     infer_step = make_infer_step(model)
     prob_step = make_infer_probs_step(model)
 

@@ -65,7 +65,9 @@ class Config:
     augmentation: bool = True
 
     # ---- host / loader (metadata.json:36-37) ----
-    num_gpus: int = 1  # reference-compat; device count actually comes from jax.devices()
+    # Accepted for reference config-file compat and IGNORED: the device
+    # count always comes from jax.devices() / the mesh axes below.
+    num_gpus: int = 1
     num_workers: int = 2
 
     # ---- optimization (metadata.json:39-44) ----
@@ -92,7 +94,12 @@ class Config:
     model_base: int = 0    # encoder width; 0 = architecture default (64 / 32)
     num_dates: int = 2     # temporal depth for unet_lstm / unet3d (BASELINE config 3/5)
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay float32
-    sync_batchnorm: bool = False  # per-device BN matches reference DataParallel semantics
+    # Accepted for parity with distributed-BN flags elsewhere, but a no-op
+    # here: train/eval steps run under jit SPMD where BatchNorm statistics
+    # are already computed over the GLOBAL batch (XLA inserts the cross-
+    # device reduction for the sharded batch axis), i.e. sync-BN is the
+    # only semantics on the jit path.
+    sync_batchnorm: bool = False
     seed: int = 0
     optimizer: str = "sgd"  # sgd | adam | adamw
     momentum: float = 0.0   # reference uses plain SGD (train.py:55)
@@ -107,16 +114,33 @@ class Config:
     use_pallas: bool = False  # route fused ops through Pallas kernels
     remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
+    # True: apply the shared encoder per date so train-mode BatchNorm uses
+    # per-date batch statistics, exactly as the reference's twice-applied
+    # encoder does (/root/reference/models/bidate_model.py:23-33).  False
+    # (default): stack both dates into one 2N batch — bigger MXU tiles, one
+    # encoder launch; eval is identical either way (running averages).
+    per_date_batchnorm: bool = False
+    # Umbrella flag: reproduce the reference's training semantics end-to-end
+    # (per-date BN batch statistics + the (B,H)-only loss reduction quirk).
+    # Verified one-SGD-step-exact by tests/test_reference_train_parity.py.
+    compat_reference: bool = False
     eval_batch_size: int = 0  # 0 = use batch_size
     # batches between per-batch tracker metric writes; 0 (default) streams
     # per-epoch only (set 1 for the reference's every-batch comet behavior)
     log_every: int = 0
     infer_overlap: int = 0  # overlap (px) for overlap-averaged stitching; 0 = ref grid
     steps_per_epoch: int = 0  # 0 = full pass; >0 caps batches per epoch (debug)
+    # capture a jax profiler trace (TensorBoard/Perfetto format) of the
+    # first profile_steps train steps into this directory ("" = off)
+    profile_dir: str = ""
+    profile_steps: int = 5
 
     def __post_init__(self) -> None:
         if self.eval_batch_size == 0:
             self.eval_batch_size = self.batch_size
+        if self.compat_reference:
+            self.compat_reference_losses = True
+            self.per_date_batchnorm = True
         if isinstance(self.stretch_8bit, (list, tuple)):
             self.stretch_8bit = {"lower": self.stretch_8bit[0],
                                  "higher": self.stretch_8bit[1]}

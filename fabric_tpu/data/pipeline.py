@@ -24,6 +24,13 @@ from typing import Iterator
 import numpy as np
 
 
+def _sharding_for(sharding, item):
+    """Match a {key: Sharding} dict (or a single Sharding) to a batch dict."""
+    if isinstance(sharding, dict):
+        return {k: sharding[k] for k in item}
+    return {k: sharding for k in item}
+
+
 class PatchSampler:
     """Crops + augments patches from the full in-RAM dataset dict."""
 
@@ -70,16 +77,27 @@ class PatchSampler:
 
 def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
                    pad_mode: str = "wrap", seed: int = 0,
-                   max_batches: int = 0) -> Iterator[dict]:
+                   max_batches: int = 0, process_index: int = 0,
+                   process_count: int = 1) -> Iterator[dict]:
     """Yield {'img1','img2','label','weight'} numpy batches of fixed shape.
 
-    pad_mode 'wrap': short remainder is filled with wrapped-around samples,
-    weight=1 everywhere (training).  pad_mode 'mask': remainder filled with
-    repeats but weight=0 so losses/metrics ignore them (eval).
+    ``batch_size`` is the GLOBAL batch size.  pad_mode 'wrap': short
+    remainder is filled with wrapped-around samples, weight=1 everywhere
+    (training).  pad_mode 'mask': remainder filled with repeats but weight=0
+    so losses/metrics ignore them (eval).
+
+    Multi-host: every process derives the identical global sample order from
+    ``seed`` and materializes only its own ``batch_size/process_count``-row
+    slice of each global batch (host work divides across processes);
+    :func:`prefetch_to_device` reassembles the logical global array from the
+    local shards via ``jax.make_array_from_process_local_data``.
     """
     n = len(sampler)
     if n == 0:
         return
+    if batch_size % process_count:
+        raise ValueError(f"global batch_size {batch_size} not divisible by "
+                         f"process_count {process_count}")
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
@@ -93,39 +111,73 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     if max_batches:
         num_batches = min(num_batches, max_batches)
     ps = sampler.patch_size
+    local = batch_size // process_count
+    # Augmentation RNG is keyed by (seed, global row position), NOT by a
+    # shared sequential stream: every global batch is bit-identical no
+    # matter how many processes materialize it (the multi-process parity
+    # test relies on this).
     for b in range(num_batches):
-        idx = order[b * batch_size:(b + 1) * batch_size]
-        label = np.empty((batch_size, ps, ps), np.int32)
-        w = weights[b * batch_size:(b + 1) * batch_size].copy()
+        lo = b * batch_size + process_index * local
+        idx = order[lo:lo + local]
+        label = np.empty((local, ps, ps), np.int32)
+        w = weights[lo:lo + local].copy()
+        rngs = [np.random.RandomState(
+            (seed * 1_000_003 + lo + r) % (2 ** 31)) for r in range(local)]
         if sampler.multi_date:
-            first, l0 = sampler.sample(int(idx[0]))
-            imgs = np.empty((batch_size,) + first.shape, np.float32)
+            first, l0 = _sample(sampler, int(idx[0]), rngs[0])
+            imgs = np.empty((local,) + first.shape, np.float32)
             imgs[0], label[0] = first, l0
             for row, i in enumerate(idx[1:], start=1):
-                imgs[row], label[row] = sampler.sample(int(i))
+                imgs[row], label[row] = _sample(sampler, int(i), rngs[row])
             yield {"imgs": imgs, "label": label, "weight": w}
             continue
-        img1 = np.empty((batch_size, ps, ps, 13), np.float32)
+        img1 = np.empty((local, ps, ps, 13), np.float32)
         img2 = np.empty_like(img1)
         for row, i in enumerate(idx):
-            a, c, l = sampler.sample(int(i))
+            a, c, l = _sample(sampler, int(i), rngs[row])
             img1[row], img2[row], label[row] = a, c, l
         yield {"img1": img1, "img2": img2, "label": label, "weight": w}
 
 
+def _sample(sampler: PatchSampler, index: int, rng):
+    """sampler.sample with a per-row RNG override (multi-process
+    determinism: the same global row augments identically on any process)."""
+    saved = sampler.rng
+    sampler.rng = rng
+    try:
+        return sampler.sample(index)
+    finally:
+        sampler.rng = saved
+
+
 def prefetch_to_device(iterator: Iterator[dict], size: int = 2,
                        sharding=None) -> Iterator[dict]:
-    """Background-thread prefetch + jax.device_put.
+    """Background-thread prefetch + host→device placement.
 
     ``sharding`` may be a jax Sharding (or pytree of them) to place batches
     directly into their mesh layout, avoiding a host round trip under pjit.
+
+    Multi-process (pod) runs: each process's iterator yields only its local
+    rows (see :func:`batch_iterator`); the shards are assembled into one
+    logical global jax.Array per leaf with
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    against a global NamedSharding is single-process-only.
     """
     import jax
 
+    if jax.process_count() > 1 and sharding is not None:
+        def put(item):
+            return jax.tree_util.tree_map(
+                lambda s, x: jax.make_array_from_process_local_data(s, x),
+                _sharding_for(sharding, item), item)
+    else:
+        def put(item):
+            return (jax.device_put(item, sharding) if sharding is not None
+                    else jax.device_put(item))
+
     if size <= 0:
         for item in iterator:
-            yield jax.device_put(item, sharding) if sharding is not None \
-                else jax.device_put(item)
+            yield put(item)
         return
 
     q: queue.Queue = queue.Queue(maxsize=size)
@@ -135,15 +187,14 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2,
     def producer():
         try:
             for item in iterator:
-                out = (jax.device_put(item, sharding) if sharding is not None
-                       else jax.device_put(item))
-                q.put(out)
+                q.put(put(item))
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
             q.put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
+    t.name = "fabric-prefetch"
     t.start()
     while True:
         item = q.get()

@@ -12,14 +12,20 @@ from fabric_tpu.models.bidate import BiDateNet  # noqa: F401
 def build_model(cfg):
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    axis = "data" if getattr(cfg, "sync_batchnorm", False) else None
+    # sync_batchnorm is accepted but adds nothing: the train/eval steps run
+    # under jit SPMD, where BN batch statistics are computed over the global
+    # (all-device) batch already — bn_axis_name/pmean is only needed under
+    # shard_map/pmap, which the drivers don't use.  Setting axis_name here
+    # would crash at trace time (no bound axis in jit) — advisor finding r1.
     base = getattr(cfg, "model_base", 0)
     common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                  dtype=dtype, bn_axis_name=axis)
+                  dtype=dtype, bn_axis_name=None)
     if cfg.model == "bidate":
         return BiDateNet(base=base or 64,
                          use_pallas=getattr(cfg, "use_pallas", False),
                          remat=getattr(cfg, "remat", False),
+                         joint_date_batchnorm=not getattr(
+                             cfg, "per_date_batchnorm", False),
                          **common)
     if cfg.model == "unet_lstm":
         from fabric_tpu.models.unet_lstm import UNetLSTM

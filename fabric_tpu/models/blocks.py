@@ -8,9 +8,11 @@ float32 params and float32 BatchNorm statistics, align-corners upsampling as
 MXU matmuls, and an optional Pallas fused scale-bias-ReLU epilogue.
 
 BatchNorm semantics: torch defaults (momentum 0.1 on the *new* batch stat,
-eps 1e-5) map to flax ``momentum=0.9``.  ``bn_axis_name`` enables cross-
-device (sync) BN via pmean; leaving it None matches the reference's
-per-replica DataParallel behavior (SURVEY.md §7 hard parts).
+eps 1e-5, unbiased variance in the running update) are reproduced exactly by
+``TorchBatchNorm`` below — one-SGD-step training parity with the reference is
+asserted by tests/test_reference_train_parity.py.  Under jit SPMD the batch
+axis is global, so BN batch statistics are cross-device ("sync BN") by
+construction; ``bn_axis_name``/pmean only matters under shard_map/pmap.
 """
 
 from __future__ import annotations
@@ -23,6 +25,65 @@ import jax.numpy as jnp
 from fabric_tpu.ops.resize import upsample2x_align_corners, pad_to_match
 
 Dtype = type(jnp.float32)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``nn.BatchNorm2d`` running-stat semantics.
+
+    flax ``nn.BatchNorm`` feeds the *biased* batch variance into the running
+    average; torch uses the *unbiased* (n/(n-1)-corrected) variance there
+    while normalizing with the biased one.  The reference trains with torch
+    BN (models/unet_parts.py:14-18), so one-step training parity
+    (tests/test_reference_train_parity.py) requires the torch update rule.
+    Parameter/collection layout matches ``nn.BatchNorm`` exactly
+    (params: scale/bias; batch_stats: mean/var) so checkpoints, weight
+    transfer, and ops/fold_bn.py are unaffected.
+
+    Statistics are always computed/stored in float32 regardless of the
+    compute dtype.  ``axis_name`` cross-device reduction is only meaningful
+    under shard_map/pmap; under jit SPMD the batch axis is global already.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feats, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feats, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,),
+                          jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            if self.axis_name is not None:
+                import jax
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        inv = (var + self.epsilon) ** -0.5
+        y = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
+        return y.astype(self.dtype)
 
 
 class DoubleConv(nn.Module):
@@ -39,12 +100,39 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.fold_bn and self.use_pallas:
+            assert not train, "fold_bn is an inference-only transform"
+            from fabric_tpu.ops.pallas_double_conv import (
+                supports as supports_double)
+            if supports_double(x.shape, x.shape[-1], self.features,
+                               self.features, x.dtype.itemsize):
+                # fully-fused double_conv: both convs in ONE Pallas kernel,
+                # intermediate resident in VMEM (the r1 north star); the
+                # param holders keep the exact nn.Conv scope layout
+                # ('conv1'/'conv2' with kernel+bias) so fold_bn weights
+                # drop in unchanged
+                from fabric_tpu.ops.pallas_double_conv import (
+                    double_conv3x3_bias_relu)
+                k1, b1 = _Conv3x3Params(self.features,
+                                        name="conv1")(x.shape[-1])
+                k2, b2 = _Conv3x3Params(self.features,
+                                        name="conv2")(self.features)
+                return double_conv3x3_bias_relu(
+                    x.astype(self.dtype), k1.astype(self.dtype), b1,
+                    k2.astype(self.dtype), b2)
         for i in range(2):
             if self.fold_bn and self.use_pallas:
-                assert not train, "fold_bn is an inference-only transform"
+                import jax
                 from fabric_tpu.ops.pallas_conv import supports
-                if supports(x.shape, x.shape[-1], self.features,
-                            x.dtype.itemsize):
+                # the single-conv kernel measured ~88% of XLA per layer and
+                # 2x slower end-to-end on the real chip (breaks XLA fusion
+                # clusters — r1 measurement, ops/pallas_conv.py docstring);
+                # on TPU, use_pallas therefore means "fused double_conv
+                # where it wins, XLA elsewhere".  Interpret mode keeps
+                # exercising the single-conv path.
+                single_ok = jax.default_backend() != "tpu"
+                if single_ok and supports(x.shape, x.shape[-1],
+                                          self.features, x.dtype.itemsize):
                     # fused conv+bias+relu Pallas kernel; same param tree
                     # ('convN'/kernel+bias) as nn.Conv
                     x = _PallasConvRelu(self.features, dtype=self.dtype,
@@ -63,11 +151,26 @@ class DoubleConv(nn.Module):
         # For the BN-free inference fast path, see
         # fabric_tpu/ops/fold_bn.py (folds BN into conv weights so XLA can
         # fuse the remaining ReLU into the conv epilogue on TPU).
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         axis_name=self.bn_axis_name if train else None,
-                         name=f"bn{i + 1}")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           axis_name=self.bn_axis_name if train else None,
+                           name=f"bn{i + 1}")(x)
         return nn.relu(x).astype(self.dtype)
+
+
+class _Conv3x3Params(nn.Module):
+    """Parameter holder laid out exactly like nn.Conv (kernel HWIO + bias)
+    so fold_bn param trees drop into the Pallas modules unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class _PallasConvRelu(nn.Module):

@@ -40,10 +40,11 @@ class DoubleConv3D(nn.Module):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             axis_name=self.bn_axis_name if train else None,
-                             name=f"bn{i + 1}")(x)
+            from fabric_tpu.models.blocks import TorchBatchNorm
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=jnp.float32,
+                               axis_name=self.bn_axis_name if train else None,
+                               name=f"bn{i + 1}")(x)
             x = nn.relu(x).astype(self.dtype)
         return x
 

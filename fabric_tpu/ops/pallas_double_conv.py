@@ -1,0 +1,233 @@
+"""Pallas TPU kernel: fused double_conv — two 3x3 convs with the
+intermediate activation resident in VMEM.
+
+This is the r1 north star (BASELINE.json; VERDICT r1 #4): the reference's
+hot block is ``double_conv`` = (conv3x3 -> BN -> ReLU) x 2
+(/root/reference/models/unet_parts.py:8-23).  With BatchNorm folded into
+the conv weights (ops/fold_bn.py) the block is
+``relu(conv(relu(conv(x,w1)+b1), w2)+b2)`` — two convs whose ~N*H*W*C
+intermediate XLA must round-trip through HBM (it cannot fuse across a
+convolution).  Here the intermediate never leaves VMEM.
+
+Design:
+
+- grid = (N/G,): each program computes the double_conv of a GROUP of G
+  whole images.  Blocks don't overlap, so plain BlockSpecs express the
+  pipeline and Pallas double-buffers the next group's HBM->VMEM copy
+  behind the current group's compute automatically.
+- The G images are folded into the matmul M dimension — the U-Net's deep
+  levels have tiny spatial extent (16^2 x 512ch at patch 128), where a
+  per-image M = H*W = 256 starves the MXU (measured: XLA's own conv runs
+  at 2-10 TFLOP/s there); ``(G*RC*W, Cin)`` operands restore M to
+  2-4k rows.
+- Input arrives SAME-padded (1 zero halo row/col per image); conv1
+  accumulates 9 shifted-tap MXU matmuls in fp32, applies bias+ReLU, and
+  stores bf16 rows into a zeroed ``(G, H+2, Wp, Cmid)`` VMEM scratch whose
+  zero border IS conv2's SAME padding — no halo exchange, no boundary
+  masking.  conv2 reads its 9 taps from that scratch and writes the
+  output block.
+
+Constraints (see :func:`supports`): this toolchain's Mosaic wants channel
+(lane) dims that are 128-multiples on real TPUs, and the group working set
+(padded inputs + intermediates + outputs + both weight mats) must fit
+VMEM; :func:`group_size` picks the largest G that does.
+
+Measured on the v5e chip (iters=20, warm compile cache, bf16):
+
+  shape (N,H,W,Cin->Cmid->Cout)      Pallas   XLA pair   ratio
+  64,16,16,1024->256->256 (up1)      46.9     32.6       1.44x  WIN
+  16,32,32, 512->128->128 (up2)      15.2     10.9       1.40x  WIN
+  16,32,32, 128->256->256 (down2)    16.3     16.1       1.01x
+  64,16,16, 512->512->512            66.1     68.6       0.96x
+  256,8,8,  512->512->512 (down4)    62.9     68.6       0.92x
+  32,64,64, 128->128->128            31.2     41.5       0.75x
+  16,32,32, 256->256->256            16.2     23.7       0.68x  (TFLOP/s)
+
+supports() therefore gates to the contracting decoder pairs on real TPUs.
+End-to-end caveat: even with that gating, the 4096^2 scene bench measured
+46.3 Mpx/s with --use_pallas vs 75.7 pure-XLA — injecting pallas_call into
+the model graph fragments XLA's cross-op fusion clusters, which outweighs
+the per-layer wins.  use_pallas stays OFF by default; the fused kernel is
+the measured, tested substrate (and the honest record of where hand-written
+kernels do and do not beat XLA:TPU on this model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+_TARGET_M = 4096
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _row_chunk(h: int, gw: int, target_m: int = _TARGET_M) -> int:
+    """Largest divisor of h with chunk*gw <= target_m (accumulator rows)."""
+    best = 1
+    for rc in range(1, h + 1):
+        if h % rc == 0 and rc * gw <= target_m:
+            best = rc
+    return best
+
+
+def _vmem_bytes(g: int, h: int, w: int, cin: int, cmid: int, cout: int,
+                itemsize: int = 2) -> int:
+    wp = _round_up(w + 2, 16)
+    hp = h + 2
+    rc = _row_chunk(h, g * w)
+    # input/output blocks are DOUBLE-buffered by the Pallas pipeline (the
+    # next grid step's copies overlap this step's compute) — missing this
+    # 2x was measured as a >3x perf cliff on shapes near the budget
+    xb = 2 * g * hp * wp * cin * itemsize
+    inter = g * hp * wp * cmid * itemsize
+    out = 2 * g * h * w * cout * itemsize
+    weights = 9 * (cin * cmid + cmid * cout) * itemsize
+    acc = g * rc * w * max(cmid, cout) * 4
+    return xb + inter + out + weights + acc
+
+
+def group_size(n: int, h: int, w: int, cin: int, cmid: int, cout: int,
+               itemsize: int = 2) -> int:
+    """Largest images-per-program G (<= n) whose working set fits VMEM and
+    that doesn't overshoot the target matmul M by itself."""
+    g = 0
+    for cand in range(1, n + 1):
+        if _vmem_bytes(cand, h, w, cin, cmid, cout, itemsize) >= _VMEM_BUDGET:
+            break
+        g = cand
+        if cand * h * w >= _TARGET_M:
+            break
+    return g
+
+
+def supports(shape: tuple, cin: int, cmid: int, cout: int,
+             itemsize: int = 2) -> bool:
+    """Static check: should the fused kernel handle this double_conv?
+
+    On real TPUs this is the MEASURED-win regime (v5e, iters=20, warm
+    cache — see the sweep table in the repo memory / commit message):
+    the decoder's contracting pairs (fat-K conv1, cin >= 2*cmid — e.g.
+    1024->256->256 ran 1.44x XLA, 512->128->128 1.40x) win; expanding
+    encoder pairs lose (0.68-0.92x, XLA convs hit 24-69 TFLOP/s there),
+    so they stay on XLA.  Mosaic additionally wants 128-multiple channel
+    (lane) dims.  Interpret mode (CPU tests) only checks feasibility.
+    """
+    n, h, w = shape[0], shape[1], shape[2]
+    if h < 3 or w < 3 or n < 1:
+        return False
+    if not _interpret():
+        if cin % 128 or cmid % 128 or cout % 128:
+            return False
+        if cin < 2 * cmid:  # expanding/equal pair: XLA measured faster
+            return False
+    return group_size(n, h, w, cin, cmid, cout, itemsize) >= 1
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, inter,
+            *, g: int, h: int, w: int, cin: int, cmid: int, cout: int,
+            rc: int):
+    xb = x_ref  # (g, h+2, wp, cin), zero SAME halo baked in per image
+    b1 = b1_ref[:].astype(jnp.float32)
+    b2 = b2_ref[:].astype(jnp.float32)
+    wp = inter.shape[2]
+    inter[:] = jnp.zeros_like(inter)
+    # conv1 -> bias -> ReLU; G images x RC rows per fp32 accumulator
+    for r0 in range(0, h, rc):
+        acc = jnp.zeros((g * rc * w, cmid), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xb[:, r0 + dy:r0 + dy + rc, dx:dx + w, :].reshape(
+                    g * rc * w, cin)
+                wt = w1_ref[pl.ds((dy * 3 + dx) * cin, cin), :]
+                acc += jnp.dot(tap, wt, preferred_element_type=jnp.float32)
+        val = jnp.maximum(acc + b1, 0.0).reshape(g, rc, w, cmid)
+        # zero left/right SAME border for conv2 (rows outside [1, h+1)
+        # stay zero from the initial fill)
+        val = jnp.concatenate(
+            [jnp.zeros((g, rc, 1, cmid), val.dtype), val,
+             jnp.zeros((g, rc, wp - w - 1, cmid), val.dtype)], axis=2)
+        inter[:, r0 + 1:r0 + 1 + rc, :, :] = val.astype(inter.dtype)
+    # conv2 -> bias -> ReLU from the VMEM-resident intermediate
+    for r0 in range(0, h, rc):
+        acc = jnp.zeros((g * rc * w, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = inter[:, r0 + dy:r0 + dy + rc, dx:dx + w, :].reshape(
+                    g * rc * w, cmid)
+                wt = w2_ref[pl.ds((dy * 3 + dx) * cmid, cmid), :]
+                acc += jnp.dot(tap, wt, preferred_element_type=jnp.float32)
+        out = jnp.maximum(acc + b2, 0.0).reshape(g, rc, w, cout)
+        o_ref[:, r0:r0 + rc, :, :] = out.astype(o_ref.dtype)
+
+
+@jax.jit
+def double_conv3x3_bias_relu(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                             w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """relu(conv3x3(relu(conv3x3(x, w1) + b1), w2) + b2), SAME padding,
+    intermediate held in VMEM.  x: (N, H, W, Cin); w1: (3, 3, Cin, Cmid);
+    w2: (3, 3, Cmid, Cout).  Check :func:`supports` first."""
+    n, h, w, cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w2.shape[-1]
+    g = group_size(n, h, w, cin, cmid, cout, x.dtype.itemsize)
+    if g < 1:  # working set cannot fit VMEM: plain XLA (callers are
+        return reference_double_conv(x, w1, b1, w2, b2)  # gated by supports)
+    n_pad = _round_up(n, g)
+    wp = _round_up(w + 2, 16)
+    xp = jnp.pad(x, ((0, n_pad - n), (1, 1), (1, wp - w - 1), (0, 0)))
+    w1f = w1.reshape(9 * cin, cmid).astype(x.dtype)
+    w2f = w2.reshape(9 * cmid, cout).astype(x.dtype)
+    b1f = b1.reshape(1, cmid).astype(jnp.float32)
+    b2f = b2.reshape(1, cout).astype(jnp.float32)
+    rc = _row_chunk(h, g * w)
+
+    kern = functools.partial(_kernel, g=g, h=h, w=w, cin=cin, cmid=cmid,
+                             cout=cout, rc=rc)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, h, w, cout), x.dtype),
+        grid=(n_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, h + 2, wp, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cmid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cmid, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g, h + 2, wp, cmid), x.dtype)],
+        interpret=_interpret(),
+    )(xp, w1f, b1f, w2f, b2f)
+    return out[:n] if n_pad != n else out
+
+
+def reference_double_conv(x, w1, b1, w2, b2):
+    """Plain-XLA double_conv for correctness checks and benchmarking."""
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(v, k, b):
+        y = jax.lax.conv_general_dilated(
+            v.astype(jnp.float32), k.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=dn)
+        return jnp.maximum(y + b.astype(jnp.float32), 0.0)
+
+    y = conv(x, w1, b1).astype(x.dtype)
+    return conv(y, w2, b2).astype(x.dtype)

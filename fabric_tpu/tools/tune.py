@@ -3,13 +3,14 @@
 Replaces the reference's Polyaxon Bayesian-optimization group
 (.polyaxon/.polyaxongroup — 16 iterations of UCB over lr∈[1e-3,1e-2],
 tversky α∈[0,0.3], β∈[0.7,1], maximizing ``validate_cd_f1scores``) with a
-local, dependency-free searcher: random search over the same box (the
-robust default at this dimensionality) or an explicit grid, each trial a
-full ``fabric_tpu.train.loop.train`` run, results streamed to JSONL.
+local, dependency-free searcher over the same box: GP-UCB Bayesian
+optimization (``--search bo``, matching the reference study's shape: UCB
+κ=1.2, 16 trials), random search, or an explicit grid — each trial a full
+``fabric_tpu.train.loop.train`` run, results streamed to JSONL.
 
 Usage:
   python -m fabric_tpu.tools.tune --config metadata.json --trials 16
-         [--epochs 5] [--search random|grid]
+         [--epochs 5] [--search bo|random|grid]
 """
 
 from __future__ import annotations
@@ -44,6 +45,75 @@ def grid_params(trials: int) -> list[dict]:
     return out
 
 
+class GPUCB:
+    """Minimal GP-UCB Bayesian optimizer over a box (ask/tell interface).
+
+    Numpy-only re-derivation of the reference study's optimizer shape
+    (.polyaxon/.polyaxongroup: UCB acquisition, κ=1.2, Matérn kernel):
+    inputs are normalized to [0,1]^d, the surrogate is a GP with a Matérn
+    ν=5/2 kernel (closed form; the study's ν=1.9 has no closed form) and
+    fixed lengthscale, observations are standardized, and each ``ask``
+    maximizes μ + κσ over a fresh random candidate cloud.  The first
+    ``n_init`` asks are space-filling random points.
+    """
+
+    def __init__(self, space: dict, seed: int = 0, kappa: float = 1.2,
+                 lengthscale: float = 0.25, noise: float = 1e-6,
+                 n_init: int = 4, n_candidates: int = 512):
+        self.keys = list(space)
+        self.lo = np.array([space[k][0] for k in self.keys])
+        self.hi = np.array([space[k][1] for k in self.keys])
+        self.rng = np.random.RandomState(seed)
+        self.kappa = kappa
+        self.ls = lengthscale
+        self.noise = noise
+        self.n_init = n_init
+        self.n_candidates = n_candidates
+        self.X: list[np.ndarray] = []  # normalized points
+        self.y: list[float] = []
+
+    def _kernel(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # Matérn nu=5/2: (1 + sqrt(5)r + 5r^2/3) exp(-sqrt(5)r)
+        d = np.sqrt(np.maximum(
+            ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1), 0.0)) / self.ls
+        s5 = np.sqrt(5.0) * d
+        return (1.0 + s5 + (5.0 / 3.0) * d * d) * np.exp(-s5)
+
+    def _denorm(self, u: np.ndarray) -> dict:
+        vals = self.lo + u * (self.hi - self.lo)
+        return {k: float(v) for k, v in zip(self.keys, vals)}
+
+    def ask(self) -> dict:
+        if len(self.X) < self.n_init:
+            u = self.rng.rand(len(self.keys))
+            self._pending = u
+            return self._denorm(u)
+        X = np.stack(self.X)
+        y = np.array(self.y)
+        mu0, sd = y.mean(), y.std() + 1e-12
+        yn = (y - mu0) / sd
+        K = self._kernel(X, X) + self.noise * np.eye(len(X))
+        Kinv_y = np.linalg.solve(K, yn)
+        cand = self.rng.rand(self.n_candidates, len(self.keys))
+        # include jittered copies of the incumbent for local refinement
+        inc = X[int(np.argmax(y))]
+        local = np.clip(inc + 0.05 * self.rng.randn(32, len(self.keys)),
+                        0.0, 1.0)
+        cand = np.concatenate([cand, local])
+        Ks = self._kernel(cand, X)
+        mu = Ks @ Kinv_y
+        Kinv_Ks = np.linalg.solve(K, Ks.T)
+        var = np.maximum(1.0 - np.sum(Ks * Kinv_Ks.T, axis=1), 1e-12)
+        ucb = mu + self.kappa * np.sqrt(var)
+        u = cand[int(np.argmax(ucb))]
+        self._pending = u
+        return self._denorm(u)
+
+    def tell(self, value: float) -> None:
+        self.X.append(self._pending)
+        self.y.append(float(value))
+
+
 def run_search(base_cfg_dict: dict, trials: int = 16, search: str = "random",
                seed: int = 0, train_fn=None, log_path: str | None = None):
     """Returns (best_params, best_f1, all_results)."""
@@ -52,16 +122,21 @@ def run_search(base_cfg_dict: dict, trials: int = 16, search: str = "random",
         from fabric_tpu.train.loop import train as train_fn_  # noqa
         train_fn = train_fn_
     rng = np.random.RandomState(seed)
-    candidates = (grid_params(trials)[:trials] if search == "grid"
-                  else [sample_params(rng) for _ in range(trials)])
+    bo = GPUCB(SPACE, seed=seed) if search == "bo" else None
+    if bo is None:
+        candidates = (grid_params(trials)[:trials] if search == "grid"
+                      else [sample_params(rng) for _ in range(trials)])
     results = []
     best, best_f1 = None, -1.0
     log = open(log_path, "a") if log_path else None
-    for i, params in enumerate(candidates):
+    for i in range(trials):
+        params = bo.ask() if bo is not None else candidates[i]
         cfg = Config.from_dict({**base_cfg_dict, **params,
                                 "loss_function": "tversky"})
         _, history = train_fn(cfg, run_scene_inference=False)
         f1 = history["val"][-1]["cd_f1scores"] if history["val"] else 0.0
+        if bo is not None:
+            bo.tell(f1)
         rec = {"trial": i, **params, "validate_cd_f1scores": f1}
         results.append(rec)
         if log:
@@ -78,7 +153,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--trials", type=int, default=16)
-    ap.add_argument("--search", choices=["random", "grid"], default="random")
+    ap.add_argument("--search", choices=["bo", "random", "grid"],
+                    default="bo")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default="tune_results.jsonl")

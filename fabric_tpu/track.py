@@ -82,6 +82,35 @@ class Tracker:
         self._metrics_file.close()
 
 
+class NullTracker:
+    """Write-nothing Tracker used on non-primary processes of a multi-host
+    run: every process computes metrics (they're replicated), but only
+    process 0 may touch the shared filesystem (train/loop.py gates on
+    parallel.distributed.is_primary)."""
+
+    dir = None
+
+    def log_params(self, params: dict[str, Any]) -> None:
+        pass
+
+    def log_metrics(self, metrics: dict[str, Any], step: int | None = None,
+                    prefix: str = "") -> None:
+        pass
+
+    def log_image(self, name: str, array, rescale: bool = False) -> None:
+        pass
+
+    def log_figure(self, name: str, img1, img2, groundtruth,
+                   prediction) -> None:
+        pass
+
+    def set_status(self, status: str) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def _jsonable(v: Any):
     if hasattr(v, "item"):
         try:

@@ -11,6 +11,7 @@ has none — SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 
@@ -34,29 +35,112 @@ from fabric_tpu.train.steps import (
 log = logging.getLogger("fabric_tpu")
 
 
+_STAT_KEYS = ("loss", "tp", "fp", "fn", "tn")
+
+
+class _ProfileCapture:
+    """Trace the first N train steps into cfg.profile_dir (SURVEY.md §5:
+    profiling is first-class here; the reference had none)."""
+
+    def __init__(self, logdir: str, nsteps: int):
+        import jax
+        self._active = True
+        self._left = max(nsteps, 1)
+        jax.profiler.start_trace(logdir)
+        log.info("profiler trace started -> %s (%d steps)", logdir, nsteps)
+
+    def on_step(self, state) -> None:
+        if not self._active:
+            return
+        self._left -= 1
+        if self._left <= 0:
+            self.stop(state)
+
+    def stop(self, state=None) -> None:
+        if not self._active:
+            return
+        import jax
+        if state is not None:
+            from fabric_tpu.utils.profiling import sync
+            sync(state.params)  # capture the device work, not just dispatch
+        jax.profiler.stop_trace()
+        self._active = False
+
+
 def _epoch(step_fn, state, batches, accumulator, train: bool,
            on_first_batch=None, on_step=None, tracker=None,
-           log_every: int = 0, prefix: str = ""):
+           log_every: int = 0, prefix: str = "", timer=None):
+    """One pass over ``batches``.
+
+    Default path: per-batch stats stay ON DEVICE as five scalars per step
+    (JAX dispatch is async, so appending them never blocks) and are pulled
+    in ONE device→host transfer at epoch end — no per-step sync, the exact
+    throughput killer the reference commits with its per-batch sklearn call
+    (train.py:103-106) and that r1 re-committed in miniature here.
+    Mean-of-per-batch aggregation is preserved bit-for-bit because every
+    batch's counts survive individually.  ``log_every > 0`` opts back into
+    the streaming path (one host sync per batch) for the reference's
+    every-batch comet behavior.
+    """
     first = True
+    stream = tracker is not None and log_every > 0
+    rows: list[dict] = []
     for i, batch in enumerate(batches):
-        if train:
+        if timer is not None:
+            with timer:
+                if train:
+                    state, stats = step_fn(state, batch)
+                else:
+                    stats = step_fn(state, batch)
+        elif train:
             state, stats = step_fn(state, batch)
         else:
             stats = step_fn(state, batch)
         if first and on_first_batch is not None:
             on_first_batch(batch, stats)
             first = False
-        accumulator.update(
-            float(stats["loss"]),
-            {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
-        if tracker is not None and log_every and (i + 1) % log_every == 0:
-            # per-batch running-mean stream, the reference's comet channel
-            # (train.py:114-115); mean-of-batches semantics preserved
-            tracker.log_metrics(accumulator.means(), prefix=prefix,
-                                step=int(state.step) if train else i + 1)
+        if stream:
+            accumulator.update(
+                float(stats["loss"]),
+                {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
+            if (i + 1) % log_every == 0:
+                # per-batch running-mean stream, the reference's comet
+                # channel (train.py:114-115)
+                tracker.log_metrics(accumulator.means(), prefix=prefix,
+                                    step=int(state.step) if train else i + 1)
+        else:
+            rows.append({k: stats[k] for k in _STAT_KEYS})
         if on_step is not None:
             on_step(state)
+    if rows:
+        stacked = _stack_rows(rows)
+        for j in range(len(rows)):
+            accumulator.update(
+                float(stacked["loss"][j]),
+                {k: int(stacked[k][j]) for k in ("tp", "fp", "fn", "tn")})
     return state
+
+
+def _stack_rows(rows: list[dict]) -> dict:
+    """One (steps, 5) device→host transfer for a whole epoch's stats.
+
+    The stack runs INSIDE jit: eagerly stacking hundreds of scalars that
+    are replicated over a multi-device mesh aborted in the XLA:CPU client
+    under the 8-virtual-device test environment (Fatal Python error in
+    apply_primitive/broadcast_in_dim); a compiled stack takes the ordinary
+    executable path.  One compile per distinct epoch length.
+    """
+    import jax
+    return jax.device_get(_stack_jit()(rows))
+
+
+@functools.lru_cache(maxsize=1)
+def _stack_jit():
+    import jax
+    import jax.numpy as jnp
+    # jit re-traces per input pytree structure, i.e. per epoch length
+    return jax.jit(lambda rs: {k: jnp.stack([r[k] for r in rs])
+                               for k in _STAT_KEYS})
 
 
 def _denorm_rgb(img: np.ndarray) -> np.ndarray:
@@ -68,18 +152,30 @@ def _denorm_rgb(img: np.ndarray) -> np.ndarray:
     return scale(rgb).astype(np.uint8)
 
 
+def _host_rows(x) -> np.ndarray:
+    """Materialize an array on host.  Multi-host: a globally-sharded batch is
+    not fully addressable, so fall back to this process's local rows (figure
+    previews only need *some* samples; assumes spatial axis unsharded)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(x)
+
+
 def _log_val_patches(tracker, epoch: int, batch, stats) -> None:
     """Sample-patch comparison figures on the first val batch
     (reference log_patches, train.py:141-148 + utils/helpers.py:92-125:
     every 10th sample of the batch)."""
     imgs1 = batch.get("img1")
     if imgs1 is None:  # multi-date: use first/last dates as the pair
-        imgs1 = batch["imgs"][:, 0]
-        imgs2 = batch["imgs"][:, -1]
+        imgs1 = _host_rows(batch["imgs"])[:, 0]
+        imgs2 = _host_rows(batch["imgs"])[:, -1]
     else:
-        imgs2 = batch["img2"]
-    preds = np.asarray(stats["preds"])
-    labels = np.asarray(batch["label"])
+        imgs1 = _host_rows(imgs1)
+        imgs2 = _host_rows(batch["img2"])
+    preds = _host_rows(stats["preds"])
+    labels = _host_rows(batch["label"])
     for sample in range(0, imgs1.shape[0], 10):
         tracker.log_figure(
             f"epoch_{epoch}_cd_sample_{sample}",
@@ -105,10 +201,11 @@ def _log_scene_figure(tracker, cfg, city: str, epoch: int,
         img1 = stretch_8bit(read_png_gray(p1).astype(np.float32), lo, hi)
         img2 = stretch_8bit(read_png_gray(p2).astype(np.float32), lo, hi)
         gt = load_label(cfg.dataset_dir, city) * 255
-        tracker.log_figure(f"{city}_epoch_{epoch}_figure",
-                           img1, img2, gt, mask * 255)
-    except Exception:
-        pass
+    except OSError as e:  # unreadable preview/label file: figure is optional
+        log.warning("scene figure skipped for %s: %s", city, e)
+        return
+    tracker.log_figure(f"{city}_epoch_{epoch}_figure",
+                       img1, img2, gt, mask * 255)
 
 
 def improved(mean_val: dict, best: dict) -> bool:
@@ -127,8 +224,17 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         # actually read (archives may nest the dataset one level down)
         from fabric_tpu.data.download import ensure_dataset
         cfg.dataset_dir = ensure_dataset(cfg)
-    tracker = tracker or Tracker(cfg.log_dir, project=cfg.project_name)
+    # Multi-host: only process 0 touches the filesystem (tracker files,
+    # checkpoints, figures); every process still computes everything.
+    from fabric_tpu.parallel.distributed import is_primary
+    primary = is_primary()
+    if tracker is None:
+        from fabric_tpu.track import NullTracker
+        tracker = (Tracker(cfg.log_dir, project=cfg.project_name)
+                   if primary else NullTracker())
     tracker.log_params(cfg.to_dict())
+    import jax
+    pidx, pcount = jax.process_index(), jax.process_count()
 
     mesh = make_mesh_from_config(cfg)
     if cfg.batch_size % mesh.shape["data"]:
@@ -154,7 +260,7 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     model = build_model(cfg)
     loss_fn = get_loss_fn(cfg)
     state = create_state(cfg, model)
-    state, resumed_epoch = ckpt.resume_if_requested(cfg, state)
+    state, resumed_epoch, resumed_meta = ckpt.resume_if_requested(cfg, state)
     if resumed_epoch >= 0:
         log.info("resumed from epoch %d (step %d)", resumed_epoch, state.step)
 
@@ -164,8 +270,17 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     prob_step = make_infer_probs_step(model)
 
     best = {"cd_f1scores": -1.0, "cd_recalls": -1.0, "cd_precisions": -1.0}
+    # seed best from the resumed checkpoint's saved validation metrics so a
+    # post-resume regression is not re-checkpointed as a "new best"
+    for k, v in (resumed_meta.get("validation_metrics") or {}).items():
+        if k in best:
+            best[k] = float(v)
     history = {"train": [], "val": []}
     start_epoch = resumed_epoch + 1
+
+    profiler = None
+    if cfg.profile_dir and primary:
+        profiler = _ProfileCapture(cfg.profile_dir, cfg.profile_steps)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
@@ -178,23 +293,49 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         batches = prefetch_to_device(
             batch_iterator(sampler, cfg.batch_size, shuffle=True,
                            pad_mode="wrap", seed=cfg.seed + epoch,
-                           max_batches=cfg.steps_per_epoch),
+                           max_batches=cfg.steps_per_epoch,
+                           process_index=pidx, process_count=pcount),
             size=cfg.prefetch, sharding=shardings)
 
-        on_step = None
-        if cfg.checkpoint_every > 0:
+        callbacks = []
+        if cfg.checkpoint_every > 0 and primary:
             # periodic step-based checkpointing (fault tolerance: resume
             # loses at most checkpoint_every steps; the reference could
             # only restart from scratch — SURVEY.md §5)
-            def on_step(s, _epoch=epoch):
+            def _periodic(s, _epoch=epoch):
                 if int(s.step) % cfg.checkpoint_every == 0:
                     ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
                               metadata={"periodic": True})
+            callbacks.append(_periodic)
+        if profiler is not None:
+            callbacks.append(profiler.on_step)
+        on_step = None
+        if callbacks:
+            def on_step(s, _cbs=tuple(callbacks)):
+                for cb in _cbs:
+                    cb(s)
 
+        from fabric_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
         state = _epoch(train_step, state, batches, train_acc, train=True,
                        on_step=on_step, tracker=tracker,
-                       log_every=cfg.log_every, prefix="batch_train_")
+                       log_every=cfg.log_every, prefix="batch_train_",
+                       timer=timer)
+        if profiler is not None:  # close out even on very short epochs
+            profiler.stop(state)
+            profiler = None
+        train_seconds = time.time() - t0
         mean_train = train_acc.means()
+        if timer.times:
+            # epoch-level throughput: _epoch ends with a device sync (the
+            # stacked-stats device_get), so wall-clock is honest; the
+            # StepTimer percentiles describe per-step dispatch behavior
+            perf = {"examples_per_sec":
+                    len(timer.times) * cfg.batch_size / train_seconds}
+            perf.update({k: v for k, v in
+                         timer.summary(cfg.batch_size).items()
+                         if k in ("steps", "p50_step_s", "p95_step_s")})
+            tracker.log_metrics(perf, step=epoch, prefix="train_")
         tracker.log_metrics(mean_train, step=epoch, prefix="train_")
         log.info("epoch %d train %s", epoch,
                  {k: round(v, 4) for k, v in mean_train.items()})
@@ -204,7 +345,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         val_batches = prefetch_to_device(
             batch_iterator(val_sampler, cfg.eval_batch_size, shuffle=False,
                            pad_mode="mask",
-                           max_batches=cfg.steps_per_epoch),
+                           max_batches=cfg.steps_per_epoch,
+                           process_index=pidx, process_count=pcount),
             size=cfg.prefetch, sharding=shardings)
         _epoch(eval_step, state, val_batches, val_acc, train=False,
                on_first_batch=lambda b, s: _log_val_patches(
@@ -221,10 +363,18 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         if run_scene_inference:
             from fabric_tpu.data.oscd import load_label
             from fabric_tpu.metrics import prf1_from_counts
+            # multi-host: scene tiling runs replicated per process (the tile
+            # runner's device_put/np.asarray path is single-process), from a
+            # host copy of the (replicated) state; the NullTracker drops
+            # non-primary writes
+            scene_mesh, scene_state = mesh, state
+            if pcount > 1:
+                scene_mesh = None
+                scene_state = jax.tree_util.tree_map(np.asarray, state)
             for city in cfg.validation_cities:
                 try:
-                    mask = infer_city(infer_step, state, cfg, city,
-                                      mesh=mesh, prob_step=prob_step)
+                    mask = infer_city(infer_step, scene_state, cfg, city,
+                                      mesh=scene_mesh, prob_step=prob_step)
                     tracker.log_image(f"{city}_epoch_{epoch}", mask * 255)
                     _log_scene_figure(tracker, cfg, city, epoch, mask)
                     # full-scene F1 vs ground truth (the reference only
@@ -241,13 +391,17 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                              f"{city}_scene_recall": r,
                              f"{city}_scene_f1": f1}, step=epoch)
                         mean_val[f"{city}_scene_f1"] = f1
-                except Exception as e:  # scene missing on disk etc.
-                    log.warning("scene inference failed for %s: %s", city, e)
+                except OSError as e:
+                    # scene files missing/unreadable on disk — a real bug in
+                    # tiling/stitching (shape mismatch etc.) must PROPAGATE,
+                    # not be reported as "scene missing" (r1 weak #6)
+                    log.warning("scene inference skipped for %s: %s", city, e)
 
         if improved(mean_val, best):
-            meta = dict(cfg.to_dict())
-            meta["validation_metrics"] = mean_val
-            ckpt.save(state, cfg.weight_dir, epoch, metadata=meta)
+            if primary:
+                meta = dict(cfg.to_dict())
+                meta["validation_metrics"] = mean_val
+                ckpt.save(state, cfg.weight_dir, epoch, metadata=meta)
             best = {k: mean_val[k] for k in best}
             log.info("epoch %d: new best, checkpointed", epoch)
 

@@ -45,7 +45,7 @@ def test_latest_checkpoint_and_resume(tmp_path):
 
     cfg_resume = _small_cfg(tmp_path, resume=str(tmp_path))
     fresh = create_state(cfg_resume, model)
-    resumed, epoch = ckpt.resume_if_requested(cfg_resume, fresh)
+    resumed, epoch, _ = ckpt.resume_if_requested(cfg_resume, fresh)
     assert epoch == 5 and resumed.step == 42
 
 
@@ -54,7 +54,7 @@ def test_resume_empty_dir_is_fresh(tmp_path):
     model = build_model(cfg)
     state = create_state(cfg, model)
     (tmp_path / "nope").mkdir()
-    resumed, epoch = ckpt.resume_if_requested(cfg, state)
+    resumed, epoch, meta = ckpt.resume_if_requested(cfg, state)
     assert epoch == -1
 
 
@@ -81,7 +81,7 @@ def test_latest_prefers_newer_periodic(tmp_path):
     assert "periodic_epoch_1" in latest
     # resume picks it up and restores the step
     cfg2 = _small_cfg(tmp_path, resume=str(tmp_path))
-    resumed, epoch = ckpt.resume_if_requested(cfg2, create_state(cfg2, model))
+    resumed, epoch, _ = ckpt.resume_if_requested(cfg2, create_state(cfg2, model))
     assert epoch == 1 and resumed.step == 77
     # tag-filtered lookup still works
     only_best = ckpt.latest_checkpoint(str(tmp_path), tag="checkpoint")
@@ -100,3 +100,30 @@ def test_restore_mismatched_model_clear_error(tmp_path):
     small = create_state(cfg2, build_model(cfg2))
     with pytest.raises(ValueError, match="does not match the configured"):
         ckpt.restore(small, path)
+
+
+def test_pointer_files_and_metadata_resume(tmp_path):
+    """save() writes latest/best pointers; resume returns the sidecar so the
+    loop can seed its best-metric tracking (advisor finding r1)."""
+    import json, os
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    ckpt.save(state, str(tmp_path), epoch=0,
+              metadata={"validation_metrics": {"cd_f1scores": 0.7}})
+    ckpt.save(state.replace(step=9), str(tmp_path), epoch=3, tag="periodic")
+    with open(os.path.join(str(tmp_path), "latest.json")) as fin:
+        assert json.load(fin)["file"] == "periodic_epoch_3.msgpack"
+    with open(os.path.join(str(tmp_path), "best.json")) as fin:
+        assert json.load(fin)["file"] == "checkpoint_epoch_0.msgpack"
+    assert ckpt.read_pointer(str(tmp_path), "best").endswith(
+        "checkpoint_epoch_0.msgpack")
+    # latest_checkpoint uses the pointer (no mtime race)
+    assert ckpt.latest_checkpoint(str(tmp_path)).endswith(
+        "periodic_epoch_3.msgpack")
+    # resume from the best-metric checkpoint returns its validation metrics
+    cfgr = _small_cfg(tmp_path, resume=os.path.join(
+        str(tmp_path), "checkpoint_epoch_0.msgpack"))
+    _, epoch, meta = ckpt.resume_if_requested(cfgr, create_state(cfgr, model))
+    assert epoch == 0
+    assert meta["validation_metrics"]["cd_f1scores"] == 0.7

@@ -25,12 +25,38 @@ def test_grain_bidate_batches(setup):
     data, md = setup
     batches = list(grain_batch_iterator(data, md, 16, 4, shuffle=True,
                                         augment=True, seed=0))
-    assert len(batches) == len(md) // 4
+    assert len(batches) == -(-len(md) // 4)  # every sample seen (ceil)
     b = batches[0]
     assert b["img1"].shape == (4, 16, 16, 13)
     assert b["img2"].shape == (4, 16, 16, 13)
     assert b["label"].shape == (4, 16, 16) and b["label"].dtype == np.int32
     assert b["weight"].shape == (4,)
+
+
+def test_grain_remainder_padding_matches_numpy_contract(setup):
+    """The epoch tail is padded, not dropped: fixed shapes, wrap→weight 1,
+    mask→weight 0 on the repeats (same contract as data/pipeline.py)."""
+    data, md = setup
+    n, bs = len(md), 4
+    rem = n % bs
+    if rem == 0:  # force a remainder
+        md = md[:-1]
+        n, rem = n - 1, (n - 1) % bs
+    assert rem != 0
+    for pad_mode, padw in (("wrap", 1.0), ("mask", 0.0)):
+        batches = list(grain_batch_iterator(data, md, 16, bs, shuffle=False,
+                                            augment=False,
+                                            pad_mode=pad_mode))
+        assert len(batches) == -(-n // bs)
+        last = batches[-1]
+        assert last["img1"].shape == (bs, 16, 16, 13)
+        np.testing.assert_array_equal(last["weight"][rem:],
+                                      np.full(bs - rem, padw, np.float32))
+        np.testing.assert_array_equal(last["weight"][:rem],
+                                      np.ones(rem, np.float32))
+        # padded rows are repeats of real rows from the same batch
+        np.testing.assert_array_equal(last["img1"][rem],
+                                      last["img1"][0])
 
 
 def test_grain_multi_date_batches(setup):

@@ -39,16 +39,21 @@ def _load_reference_model():
     return model
 
 
+def _t2j(t):
+    # np.array(copy=True): jnp.asarray on CPU can zero-copy a contiguous
+    # numpy view of a torch buffer, silently aliasing tensors that torch
+    # later mutates in place (opt.step, BN running-stat updates) — which
+    # would corrupt "pre-step" snapshots in the train-parity test.
+    return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+
 def _conv(w, b):
-    return {"kernel": jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0)),
-            "bias": jnp.asarray(b.detach().numpy())}
+    return {"kernel": _t2j(w.permute(2, 3, 1, 0)), "bias": _t2j(b)}
 
 
 def _bn_params(bn):
-    return ({"scale": jnp.asarray(bn.weight.detach().numpy()),
-             "bias": jnp.asarray(bn.bias.detach().numpy())},
-            {"mean": jnp.asarray(bn.running_mean.detach().numpy()),
-             "var": jnp.asarray(bn.running_var.detach().numpy())})
+    return ({"scale": _t2j(bn.weight), "bias": _t2j(bn.bias)},
+            {"mean": _t2j(bn.running_mean), "var": _t2j(bn.running_var)})
 
 
 def _double_conv(seq):

@@ -42,8 +42,10 @@ def test_train_loop_e2e(env):
     assert runs
     run_dir = os.path.join(cfg.log_dir, sorted(runs)[-1])
     assert any("beta_epoch" in f for f in os.listdir(run_dir))
-    # learning happened: val F1 is meaningful on blob-change data
-    assert history["val"][-1]["cd_f1scores"] > 0.15
+    # learning happened: val F1 measures ~0.60 on this config (blob-change
+    # data is designed easy); 0.45 leaves margin without letting a
+    # near-broken model pass (r1 weak #7 asked for >0.15 to be tightened)
+    assert history["val"][-1]["cd_f1scores"] > 0.45
 
 
 def test_resume_continues_from_checkpoint(env):

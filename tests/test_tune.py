@@ -35,3 +35,35 @@ def test_grid_search_runs():
     best, best_f1, results = run_search({}, trials=4, search="grid",
                                         train_fn=_fake_train)
     assert len(results) == 4 and best is not None
+
+
+def _smooth_objective(cfg, run_scene_inference=False):
+    # smooth peak inside the box at (lr=4e-3, alpha=0.12, beta=0.85)
+    f1 = (1.0
+          - ((cfg.learning_rate - 4e-3) / 9e-3) ** 2
+          - ((cfg.tversky_alpha - 0.12) / 0.3) ** 2
+          - ((cfg.tversky_beta - 0.85) / 0.3) ** 2)
+    return None, {"val": [{"cd_f1scores": f1}], "train": []}
+
+
+def test_bo_search_beats_random_on_smooth_objective():
+    """GP-UCB must converge faster than random on a cheap synthetic
+    objective (the reference study's optimizer shape: 16 trials, UCB)."""
+    _, bo_best, bo_results = run_search({}, trials=16, search="bo", seed=0,
+                                        train_fn=_smooth_objective)
+    _, rand_best, _ = run_search({}, trials=16, search="random", seed=0,
+                                 train_fn=_smooth_objective)
+    assert len(bo_results) == 16
+    assert bo_best >= rand_best
+    # BO gets within 1% of the optimum (value 1.0 at the peak)
+    assert bo_best > 0.99, bo_best
+
+
+def test_bo_stays_in_box():
+    from fabric_tpu.tools.tune import GPUCB
+    opt = GPUCB(SPACE, seed=3)
+    for i in range(10):
+        p = opt.ask()
+        for k, (lo, hi) in SPACE.items():
+            assert lo <= p[k] <= hi
+        opt.tell(-abs(p["learning_rate"] - 5e-3))
