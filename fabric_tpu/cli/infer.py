@@ -36,6 +36,13 @@ def main(argv=None) -> int:
     if not cfg.resume:
         print("error: --resume <checkpoint> is required", file=sys.stderr)
         return 2
+    if os.path.isdir(cfg.resume):
+        # inference wants the BEST-metric weights, not a possibly-newer
+        # mid-epoch periodic save; fall back to latest for old run dirs
+        best = ckpt.read_pointer(cfg.resume, "best")
+        if best:
+            cfg.resume = best
+            logging.info("using best-metric checkpoint %s", best)
     from fabric_tpu.data.download import ensure_dataset
     cfg.dataset_dir = ensure_dataset(cfg)
     mesh = make_mesh_from_config(cfg)

@@ -104,6 +104,12 @@ class Config:
     optimizer: str = "sgd"  # sgd | adam | adamw
     momentum: float = 0.0   # reference uses plain SGD (train.py:55)
     weight_decay: float = 0.0
+    lr_schedule: str = "constant"  # constant | cosine | linear
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0  # required for cosine/linear schedules
+    # update params every K steps with the mean of K micro-batch gradients
+    # (effective batch = K * batch_size); 1 = off
+    grad_accum_steps: int = 1
     # Mesh axis sizes; -1 on data = "all remaining devices".
     mesh_data: int = -1
     mesh_spatial: int = 1

@@ -20,17 +20,48 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def make_schedule(cfg):
+    """Learning-rate schedule from config (reference used a constant lr,
+    train.py:55; cosine/warmup-cosine are the production extensions)."""
+    name = getattr(cfg, "lr_schedule", "constant")
+    lr = cfg.learning_rate
+    if name == "constant":
+        return lr
+    steps = getattr(cfg, "lr_decay_steps", 0)
+    if steps <= 0:
+        raise ValueError(f"lr_schedule={name!r} requires lr_decay_steps > 0")
+    warmup = getattr(cfg, "lr_warmup_steps", 0)
+    if name == "cosine":
+        if warmup:
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=warmup,
+                decay_steps=steps)
+        return optax.cosine_decay_schedule(lr, decay_steps=steps)
+    if name == "linear":
+        return optax.linear_schedule(lr, 0.0, transition_steps=steps,
+                                     transition_begin=warmup)
+    raise ValueError(f"unknown lr_schedule: {name!r}")
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     name = getattr(cfg, "optimizer", "sgd")
-    lr = cfg.learning_rate
+    lr = make_schedule(cfg)
     if name == "sgd":
         mom = getattr(cfg, "momentum", 0.0)
-        return optax.sgd(lr, momentum=mom if mom else None)
-    if name == "adam":
-        return optax.adam(lr)
-    if name == "adamw":
-        return optax.adamw(lr, weight_decay=getattr(cfg, "weight_decay", 1e-2))
-    raise ValueError(f"unknown optimizer: {name!r}")
+        tx = optax.sgd(lr, momentum=mom if mom else None)
+    elif name == "adam":
+        tx = optax.adam(lr)
+    elif name == "adamw":
+        tx = optax.adamw(lr, weight_decay=getattr(cfg, "weight_decay", 1e-2))
+    else:
+        raise ValueError(f"unknown optimizer: {name!r}")
+    accum = getattr(cfg, "grad_accum_steps", 1)
+    if accum and accum > 1:
+        # micro-batch gradient accumulation: the params update every
+        # `accum` train steps with the mean gradient — large effective
+        # batches beyond per-chip memory (no reference equivalent)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def create_state(cfg, model, rng: jax.Array | None = None,

@@ -122,6 +122,63 @@ def test_updated_bn_running_stats_match(one_step):
                         1e-4, "BN running stat")
 
 
+def test_five_step_trajectory_and_eval_parity():
+    """Five consecutive SGD steps on fresh batches, then an EVAL forward:
+    the whole short trajectory — params, BN running stats, and the
+    post-training eval logits (what F1 is computed from) — must track the
+    reference.  This is the step-level version of the 'OSCD F1 within 1%'
+    north star (BASELINE.md), run where bit-exact comparison is possible."""
+    tm = _load_reference_model()
+    variables = _transfer(tm)
+
+    tm.train()
+    criterion = _ref_tversky()
+    opt = torch.optim.SGD(tm.parameters(), lr=1e-3)
+    batches = [_batch(seed) for seed in range(5)]
+    for a, b, lbl in batches:
+        opt.zero_grad()
+        out = tm(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                 torch.from_numpy(b.transpose(0, 3, 1, 2)))
+        criterion(out, torch.from_numpy(lbl.astype(np.int64))).backward()
+        opt.step()
+    tm.eval()
+    ea, eb, _ = _batch(99)
+    with torch.no_grad():
+        ref_logits = tm(torch.from_numpy(ea.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(eb.transpose(0, 3, 1, 2)))
+    ref_logits = ref_logits.numpy().transpose(0, 2, 3, 1)
+
+    import optax
+    from fabric_tpu.losses import tversky_loss
+    from fabric_tpu.models import BiDateNet
+    from fabric_tpu.train.state import TrainState
+    from fabric_tpu.train.steps import make_train_step, make_eval_step
+
+    model = BiDateNet(dtype=jnp.float32, joint_date_batchnorm=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=optax.sgd(1e-3))
+    loss_fn = functools.partial(tversky_loss, alpha=0.1, beta=0.9,
+                                compat_reference=True)
+    step = make_train_step(model, loss_fn, donate=False)
+    for a, b, lbl in batches:
+        state, _ = step(state, {"img1": jnp.asarray(a),
+                                "img2": jnp.asarray(b),
+                                "label": jnp.asarray(lbl)})
+
+    after_ref = _transfer(tm)
+    _assert_trees_close(state.params, after_ref["params"], 3e-4,
+                        "5-step param")
+    _assert_trees_close(state.batch_stats, after_ref["batch_stats"], 3e-4,
+                        "5-step BN stat")
+    ours = np.asarray(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(ea), jnp.asarray(eb), train=False))
+    np.testing.assert_allclose(ours, ref_logits, atol=1e-3)
+    agree = np.mean(np.argmax(ours, -1) == np.argmax(ref_logits, -1))
+    assert agree > 0.999
+
+
 def test_compat_reference_umbrella_flag():
     """cfg.compat_reference turns on both reference-semantics switches and
     reaches the model factory."""
