@@ -81,6 +81,14 @@ def main(argv=None) -> int:
                     help="route eligible convs through the Pallas kernel "
                          "(measured slower than XLA end-to-end; see "
                          "ops/pallas_conv.py)")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="int8 = post-training-quantized serving path "
+                         "(infer/quant.py): s8xs8->s32 convs; NOT bit-exact "
+                         "with the bf16 headline path (accuracy bounds in "
+                         "tests/test_quant.py).  NOTE: measured on this "
+                         "chip, XLA lowers int8 convs no faster than bf16 "
+                         "(77 vs 88 TFLOP/s at down1's shape) — this mode "
+                         "is for memory-constrained serving, not speed")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -129,6 +137,22 @@ def main(argv=None) -> int:
         # benchmarked the unfolded model)
         state = state.replace(params=variables["params"], batch_stats={},
                               apply_fn=model.apply)
+    if args.quant == "int8":
+        # calibrate activation scales on random normalized-distribution
+        # batches (throughput is scale-independent; real deployments
+        # calibrate on held-out scenes — infer/quant.py docstring)
+        from fabric_tpu.infer import quant as _quant
+        if not args.fold_bn:
+            raise SystemExit("--quant int8 requires --fold_bn")
+        if args.mode != "device":
+            raise SystemExit("--quant int8 supports --mode device only")
+        rng = np.random.RandomState(7)
+        calib = [(jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
+                              jnp.float32),
+                  jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
+                              jnp.float32))]
+        scales = _quant.calibrate(variables["params"], calib)
+        model = _quant.make_int8_apply(variables["params"], scales)
 
     shape = (args.size, args.size, 13)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -188,7 +212,7 @@ def main(argv=None) -> int:
             "patch": args.patch, "batch": args.batch,
             "overlap": args.overlap, "mode": args.mode,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
-            "use_pallas": args.use_pallas,
+            "use_pallas": args.use_pallas, "quant": args.quant,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compile_plus_first_s": round(compile_and_first, 3),

@@ -127,8 +127,12 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
     origins = np.concatenate(
         [origins, np.zeros((pad, 2), np.int32)]).astype(np.int32)
 
+    # ``model`` is a Flax module or any ``(variables, d1, d2, train=False)
+    # -> logits`` callable (e.g. infer.quant.make_int8_apply's closure)
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
     def forward(variables, t1, t2):
-        logits = model.apply(variables, t1, t2, train=False)
+        logits = apply_fn(variables, t1, t2, train=False)
         if overlap:
             return jax.nn.softmax(logits, axis=-1)[..., 1]
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)

@@ -1,0 +1,189 @@
+"""Int8 post-training-quantized whole-scene inference (serving fast path).
+
+The v5e MXU runs s8 x s8 -> s32 at ~2x the bf16 rate (394 vs 197 TOPS), and
+int8 activations halve HBM traffic, which is what bounds the full-resolution
+64-channel U-Net layers (~288 FLOP/B at bf16, right at the v5e roofline
+ridge).  This module quantizes the BN-folded eval forward
+(ops/fold_bn.py) post-training:
+
+- **Weights**: symmetric per-output-channel int8 (scale = absmax/127 over
+  the (3, 3, Cin) fan-in), computed once from the folded fp32 kernels.
+- **Activations**: symmetric per-tensor int8 with STATIC scales calibrated
+  offline (:func:`calibrate` runs the bf16 forward over calibration batches
+  and records each conv input's absmax) so the serving graph contains no
+  data-dependent reductions.
+- Everything else (max-pool, multiplicative-ReLU fusion, align-corners
+  resize, concat, bias + ReLU epilogues) stays in bf16/fp32: XLA fuses the
+  quantize/dequantize elementwise chains into the conv epilogues, so the
+  only extra HBM passes are the int8 conv inputs — half the bytes of their
+  bf16 counterparts.
+
+This is an OPT-IN serving mode (``bench.py --quant int8``); the default
+eval/bench path remains exact bf16.  It replaces nothing in the reference
+(which serves fp32 torch, /root/reference/utils/inference.py) — it is the
+TPU-native answer to "large scale inference will be slower on other
+configurations" (reference README.md:11).
+
+Accuracy: tests/test_quant.py checks mask agreement and probability error
+of the int8 path against the exact bf16 forward on a trained model.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# conv sites in forward order; each entry is the params-tree path of the
+# nn.Conv whose input gets an activation scale
+_SITES = (
+    ("inc.conv1", ("inc", "conv1")),
+    ("inc.conv2", ("inc", "conv2")),
+    ("down1.conv1", ("down1", "conv", "conv1")),
+    ("down1.conv2", ("down1", "conv", "conv2")),
+    ("down2.conv1", ("down2", "conv", "conv1")),
+    ("down2.conv2", ("down2", "conv", "conv2")),
+    ("down3.conv1", ("down3", "conv", "conv1")),
+    ("down3.conv2", ("down3", "conv", "conv2")),
+    ("down4.conv1", ("down4", "conv", "conv1")),
+    ("down4.conv2", ("down4", "conv", "conv2")),
+    ("up1.conv1", ("up1", "conv", "conv1")),
+    ("up1.conv2", ("up1", "conv", "conv2")),
+    ("up2.conv1", ("up2", "conv", "conv1")),
+    ("up2.conv2", ("up2", "conv", "conv2")),
+    ("up3.conv1", ("up3", "conv", "conv1")),
+    ("up3.conv2", ("up3", "conv", "conv2")),
+    ("up4.conv1", ("up4", "conv", "conv1")),
+    ("up4.conv2", ("up4", "conv", "conv2")),
+)
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def quantize_weights(folded_params) -> dict:
+    """Per-output-channel symmetric int8 weights from BN-folded fp32 kernels.
+
+    Returns {site: {"wq": int8 (3,3,Cin,Cout), "sw": f32 (Cout,),
+    "bias": f32 (Cout,)}}.  The 1x1 output head stays fp32 (negligible
+    FLOPs, and logits feed an argmax)."""
+    out = {}
+    for name, path in _SITES:
+        p = _get(folded_params, path)
+        k = np.asarray(p["kernel"], np.float32)
+        sw = np.max(np.abs(k), axis=(0, 1, 2)) / 127.0
+        sw = np.maximum(sw, 1e-12)
+        wq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
+        out[name] = {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw),
+                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+    return out
+
+
+def _make_forward(folded_params, qweights: Optional[dict],
+                  act_scales: Optional[dict], dtype=jnp.bfloat16):
+    """One code path for both modes.
+
+    qweights/act_scales None  -> exact bf16 forward that ALSO returns
+    {site: absmax} for calibration.
+    qweights/act_scales given -> int8 forward returning logits only.
+    """
+    from fabric_tpu.ops.resize import upsample2x_align_corners
+
+    quant = qweights is not None
+
+    def conv_site(x, name, path, stats):
+        if not quant:
+            stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            p = _get(folded_params, path)
+            y = jax.lax.conv_general_dilated(
+                x, p["kernel"].astype(dtype), (1, 1), "SAME",
+                dimension_numbers=_DN)
+            return y + p["bias"].astype(dtype)
+        q = qweights[name]
+        sx = act_scales[name]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, q["wq"], (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (q["sw"] * sx) + q["bias"]
+        return y.astype(dtype)
+
+    def dc(x, block, stats):
+        x = jnp.maximum(conv_site(x, f"{block}.conv1",
+                                  dict(_SITES)[f"{block}.conv1"], stats), 0)
+        return jnp.maximum(conv_site(x, f"{block}.conv2",
+                                     dict(_SITES)[f"{block}.conv2"],
+                                     stats), 0)
+
+    def pool(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min,
+            jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def forward(x_d1, x_d2):
+        stats = {}
+        n = x_d1.shape[0]
+        x = jnp.concatenate([x_d1, x_d2], 0).astype(dtype)
+        x1 = dc(x, "inc", stats)
+        x2 = dc(pool(x1), "down1", stats)
+        x3 = dc(pool(x2), "down2", stats)
+        x4 = dc(pool(x3), "down3", stats)
+        x5 = dc(pool(x4), "down4", stats)
+        f = [jnp.maximum(a[n:] * a[:n], 0) for a in (x1, x2, x3, x4, x5)]
+
+        def up(y, skip, block):
+            y = upsample2x_align_corners(y)
+            y = jnp.concatenate([skip, y], axis=-1)
+            return dc(y, block, stats)
+
+        y = up(f[4], f[3], "up1")
+        y = up(y, f[2], "up2")
+        y = up(y, f[1], "up3")
+        y = up(y, f[0], "up4")
+        p = folded_params["outc"]["conv"]
+        logits = jax.lax.conv_general_dilated(
+            y, p["kernel"].astype(dtype), (1, 1), "SAME",
+            dimension_numbers=_DN) + p["bias"].astype(dtype)
+        logits = logits.astype(jnp.float32)
+        return logits if quant else (logits, stats)
+
+    return forward
+
+
+def calibrate(folded_params, batches, dtype=jnp.bfloat16) -> dict:
+    """Run the exact bf16 forward over ``batches`` (iterable of (d1, d2)
+    NHWC arrays) and return {site: float} per-tensor activation scales
+    (absmax/127 over all batches)."""
+    fwd = jax.jit(_make_forward(folded_params, None, None, dtype))
+    maxes: dict = {}
+    for d1, d2 in batches:
+        _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))
+        for k, v in stats.items():
+            v = float(v)
+            maxes[k] = max(maxes.get(k, 0.0), v)
+    return {k: max(v, 1e-12) / 127.0 for k, v in maxes.items()}
+
+
+def make_int8_apply(folded_params, act_scales: dict,
+                    dtype=jnp.bfloat16) -> Callable:
+    """Build ``apply(variables, d1, d2, train=False) -> logits`` with the
+    same call signature as ``model.apply`` so it drops into
+    infer.device_tiling.make_scene_infer / train.steps eval wrappers.
+    ``variables`` is accepted and ignored — the quantized weights are baked
+    in as compile-time constants."""
+    qw = quantize_weights(folded_params)
+    fwd = _make_forward(folded_params, qw, dict(act_scales), dtype)
+
+    def apply(variables, d1, d2, train=False):  # noqa: ARG001
+        del variables, train
+        return fwd(d1, d2)
+
+    return apply
