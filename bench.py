@@ -81,14 +81,19 @@ def main(argv=None) -> int:
                     help="route eligible convs through the Pallas kernel "
                          "(measured slower than XLA end-to-end; see "
                          "ops/pallas_conv.py)")
+    ap.add_argument("--split_up_concat", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="decoder Up blocks read their concat sources "
+                         "directly (same math, skips the widest decoder "
+                         "HBM round-trip; measured 1.29x on up4's shape)")
     ap.add_argument("--quant", choices=["none", "int8"], default="none",
                     help="int8 = post-training-quantized serving path "
                          "(infer/quant.py): s8xs8->s32 convs; NOT bit-exact "
                          "with the bf16 headline path (accuracy bounds in "
-                         "tests/test_quant.py).  NOTE: measured on this "
-                         "chip, XLA lowers int8 convs no faster than bf16 "
-                         "(77 vs 88 TFLOP/s at down1's shape) — this mode "
-                         "is for memory-constrained serving, not speed")
+                         "tests/test_quant.py).  Measured end-to-end on the "
+                         "v5e: 90.9 vs 77.1 Mpx/s bf16 (+18%) — isolated "
+                         "convs time the same as bf16, the win is halved "
+                         "HBM bytes on every conv input")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -128,7 +133,8 @@ def main(argv=None) -> int:
         import jax.numpy as _jnp
         model = BiDateNet(dtype=_jnp.bfloat16 if args.dtype == "bfloat16"
                           else _jnp.float32, fold_bn=True,
-                          use_pallas=args.use_pallas)
+                          use_pallas=args.use_pallas,
+                          split_up_concat=args.split_up_concat)
         variables = {"params": fold_batchnorm(state.params,
                                               state.batch_stats),
                      "batch_stats": {}}
@@ -213,6 +219,7 @@ def main(argv=None) -> int:
             "overlap": args.overlap, "mode": args.mode,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
+            "split_up_concat": args.split_up_concat,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compile_plus_first_s": round(compile_and_first, 3),

@@ -52,6 +52,12 @@ class BiDateNet(nn.Module):
     # statistics (bidate_model.py:23-33) exactly, at the cost of two encoder
     # launches.  Eval mode is identical either way (running averages).
     joint_date_batchnorm: bool = True
+    # Eval-only decoder optimization: first conv of each Up block reads its
+    # two concat sources directly (linearity) instead of materializing the
+    # channel concat — skips an HBM round-trip of the widest decoder tensor
+    # (measured 1.29x on up4's shape on the v5e).  Same math up to fp32
+    # accumulation order; identical parameter tree.
+    split_up_concat: bool = False
 
     @nn.compact
     def __call__(self, x_d1, x_d2, train: bool = True):
@@ -92,9 +98,10 @@ class BiDateNet(nn.Module):
         f1, f2, f3, f4, f5 = (fuse(a, b_, self.use_pallas)
                               for a, b_ in zip(d1, d2))
 
-        y = UpB(4 * b, name="up1", **kw)(f5, f4, train)
-        y = UpB(2 * b, name="up2", **kw)(y, f3, train)
-        y = UpB(b, name="up3", **kw)(y, f2, train)
-        y = UpB(b, name="up4", **kw)(y, f1, train)
+        ukw = dict(kw, split_concat=self.split_up_concat)
+        y = UpB(4 * b, name="up1", **ukw)(f5, f4, train)
+        y = UpB(2 * b, name="up2", **ukw)(y, f3, train)
+        y = UpB(b, name="up3", **ukw)(y, f2, train)
+        y = UpB(b, name="up4", **ukw)(y, f1, train)
         logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
         return logits.astype(jnp.float32)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fabric_tpu.ops.resize import upsample2x_align_corners, pad_to_match
@@ -211,21 +212,75 @@ class Down(nn.Module):
 class Up(nn.Module):
     """Bilinear 2x align-corners upsample, pad-to-skip, concat, DoubleConv
     (unet_parts.py:49-80).  Channel concat order is [skip, upsampled],
-    matching ``torch.cat([x2, x1], dim=1)`` at unet_parts.py:78."""
+    matching ``torch.cat([x2, x1], dim=1)`` at unet_parts.py:78.
+
+    ``split_concat``: compute the block's first conv as
+    ``conv(skip, K[:, :, :Cs]) + conv(up, K[:, :, Cs:])`` instead of
+    materializing ``concat([skip, up])`` — same math (conv is linear in the
+    input channels; the only difference is fp32-accumulation order), same
+    parameter tree, but skips an HBM round-trip of the widest decoder
+    tensor.  Only applied where the concat is LANE-MISALIGNED (skip
+    channels not a multiple of 128): measured on the v5e, split wins 1.29x
+    at up4 (64+64 concat straddles a lane tile) but LOSES 0.79x at up3
+    (128+128 concat is layout-free while splitting halves each conv's
+    contraction depth).  Eval-only; training keeps the reference-shaped
+    graph."""
 
     features: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
     fold_bn: bool = False
+    split_concat: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
         x1 = upsample2x_align_corners(x1)
         x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
+        if self.split_concat and not train and x2.shape[-1] % 128:
+            return _SplitDoubleConv(self.features, self.dtype,
+                                    name="conv")(x2, x1, self.fold_bn)
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
                           self.use_pallas, self.fold_bn, name="conv")(x, train)
+
+
+class _SplitDoubleConv(nn.Module):
+    """DoubleConv whose first conv reads its two concat sources directly:
+    ``conv(concat([skip, up]), K) == conv(skip, K[:, :, :Cs]) +
+    conv(up, K[:, :, Cs:])`` by linearity.  Parameter/collection layout is
+    IDENTICAL to ``DoubleConv`` (conv1/conv2 kernel+bias, bn1/bn2), so any
+    checkpoint drops in unchanged; eval-only."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip, up, fold_bn: bool):
+        cs = skip.shape[-1]
+        cin = cs + up.shape[-1]
+        dn = ("NHWC", "HWIO", "NHWC")
+        k1, b1 = _Conv3x3Params(self.features, name="conv1")(cin)
+        k1 = k1.astype(self.dtype)
+        y = (jax.lax.conv_general_dilated(
+                skip, k1[:, :, :cs, :], (1, 1), "SAME",
+                dimension_numbers=dn)
+             + jax.lax.conv_general_dilated(
+                up, k1[:, :, cs:, :], (1, 1), "SAME",
+                dimension_numbers=dn)
+             + b1.astype(self.dtype))
+        y = self._epilogue(y, fold_bn, 0)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(y)
+        return self._epilogue(y, fold_bn, 1)
+
+    def _epilogue(self, x, fold_bn: bool, i: int):
+        if fold_bn:
+            return nn.relu(x).astype(self.dtype)
+        x = TorchBatchNorm(use_running_average=True, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name=f"bn{i + 1}")(x)
+        return nn.relu(x).astype(self.dtype)
 
 
 class OutConv(nn.Module):

@@ -159,3 +159,31 @@ def test_pad_to_match_matches_torch_fpad():
     assert float(jnp.sum(y[0, 10])) == 0.0       # bottom pad row
     assert float(jnp.sum(y[0, :, 0])) == 0.0     # left pad col
     assert float(jnp.sum(y[0, :, 11:])) == 0.0   # right pad cols
+
+
+def test_split_up_concat_matches_concat_eval():
+    """split_up_concat computes the Up blocks' first conv from the two
+    concat sources directly (blocks._SplitDoubleConv); by linearity the
+    eval logits must match the concat graph to fp accumulation noise, with
+    an identical parameter tree (gated to lane-misaligned concats)."""
+    rng = np.random.RandomState(0)
+    d1 = jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32)
+    d2 = jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32)
+    base = BiDateNet(base=16, dtype=jnp.float32)
+    variables, _ = _init(base)
+    split = BiDateNet(base=16, dtype=jnp.float32, split_up_concat=True)
+    la = base.apply(variables, d1, d2, train=False)
+    lb = split.apply(variables, d1, d2, train=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               atol=1e-4, rtol=1e-4)
+    # folded-BN bf16 serving graph: same agreement check through fold_bn
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    folded = fold_batchnorm(variables["params"], variables["batch_stats"])
+    fa = BiDateNet(base=16, dtype=jnp.bfloat16, fold_bn=True)
+    fb = BiDateNet(base=16, dtype=jnp.bfloat16, fold_bn=True,
+                   split_up_concat=True)
+    va = {"params": folded, "batch_stats": {}}
+    np.testing.assert_allclose(
+        np.asarray(fa.apply(va, d1, d2, train=False), np.float32),
+        np.asarray(fb.apply(va, d1, d2, train=False), np.float32),
+        atol=0.15, rtol=0.1)
