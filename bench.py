@@ -205,6 +205,38 @@ def main(argv=None) -> int:
         elapsed = (time.time() - t0) / args.iters
 
     mpx_per_sec = (args.size * args.size) / elapsed / 1e6
+
+    # sidecar: also measure the int8 serving mode so the recorded headline
+    # JSON carries both numbers (exact bf16 = the headline value; int8 =
+    # the accuracy-bounded serving figure).  Defensive: never let the
+    # sidecar break the headline measurement.
+    int8_mpx = None
+    if args.mode == "device" and args.quant == "none" and args.fold_bn:
+        try:
+            from fabric_tpu.infer import quant as _q
+            from fabric_tpu.infer.device_tiling import make_scene_infer
+            rng = np.random.RandomState(7)
+            calib = [(jnp.asarray(
+                rng.randn(8, args.patch, args.patch, 13), jnp.float32),
+                jnp.asarray(
+                rng.randn(8, args.patch, args.patch, 13), jnp.float32))]
+            scales = _q.calibrate(variables["params"], calib)
+            apply_q = _q.make_int8_apply(variables["params"], scales)
+            run_q = make_scene_infer(apply_q, args.patch,
+                                     (args.size, args.size),
+                                     batch_size=args.batch,
+                                     overlap=args.overlap, dtype=dt)
+            mask = run_q(variables, d1, d2)
+            np.asarray(jnp.sum(mask.astype(jnp.int32)))
+            t0 = time.time()
+            for _ in range(args.iters):
+                mask = run_q(variables, d1, d2)
+            np.asarray(jnp.sum(mask.astype(jnp.int32)))
+            int8_mpx = (args.size * args.size) / (
+                (time.time() - t0) / args.iters) / 1e6
+        except Exception as e:  # noqa: BLE001 — sidecar is best-effort
+            print(f"int8 sidecar skipped: {e!r}", file=sys.stderr)
+
     n_chips = 1  # bench runs single-chip; the mesh path scales over ICI
     fpp = flops_per_pixel()
     mfu = mpx_per_sec * 1e6 * fpp / (V5E_BF16_PEAK_TFLOPS * 1e12)
@@ -226,6 +258,11 @@ def main(argv=None) -> int:
             "steady_state_s_per_scene": round(elapsed, 4),
             "model_mflop_per_px": round(fpp / 1e6, 3),
             "mfu_vs_v5e_bf16_peak": round(mfu, 3),
+            "int8_serving_mpx_per_sec": (round(int8_mpx, 3)
+                                         if int8_mpx else None),
+            "int8_note": ("--quant int8 serving mode on the same scene; "
+                          "accuracy-bounded (tests/test_quant.py), not "
+                          "bit-exact" if int8_mpx else None),
             "baseline_note": "vs_baseline divides by an ANALYTICAL "
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "

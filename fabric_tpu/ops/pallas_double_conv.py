@@ -44,6 +44,20 @@ Measured on the v5e chip (iters=20, warm compile cache, bf16):
   16,32,32, 256->256->256            16.2     23.7       0.68x  (TFLOP/s)
 
 supports() therefore gates to the contracting decoder pairs on real TPUs.
+
+r2 addendum — 64-channel layers: the model's worst XLA layers are the
+Cout=64 full-resolution convs (~40 TFLOP/s standalone; half the MXU's
+128 lanes idle).  Two hand-kernel schemes were built and measured against
+them: tap-PAIRED matmuls packing two 3x3 taps into one 128-lane result
+(shared full-block LHS, shifted accumulation) and a dy-paired variant
+whose accumulation shifts are leading-dim only.  Both lost ~2x to XLA
+(20.9-22.9 vs 38-45 TFLOP/s at (128,128,128,64->64)): with 64-channel
+operands every VMEM buffer is lane-padded to 128, so the kernel's loads,
+stores, and VPU adds all run at half rate and the matmul savings never
+materialize.  Conclusion: on this Mosaic toolchain sub-128-channel convs
+belong to XLA; the winning levers for those layers are graph-level
+(split-concat decoder, int8-resident activations — see models/blocks.py
+and infer/quant.py).
 End-to-end caveat: even with that gating, the 4096^2 scene bench measured
 46.3 Mpx/s with --use_pallas vs 75.7 pure-XLA — injecting pallas_call into
 the model graph fragments XLA's cross-op fusion clusters, which outweighs

@@ -61,3 +61,27 @@ def test_missing_checkpoint_raises(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(FileNotFoundError):
         ScenePredictor(cfg, checkpoint=str(tmp_path / "empty"))
+
+
+def test_int8_predictor_self_calibrates():
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=32, quant="int8")
+    rng = np.random.RandomState(2)
+    d1 = rng.randn(45, 53, 13).astype(np.float32)
+    d2 = rng.randn(45, 53, 13).astype(np.float32)
+    mask = pred.predict(d1, d2)
+    assert mask.shape == (45, 53)
+    assert set(np.unique(mask)) <= {0, 1}
+    # after self-calibration the serving forward is the quantized callable
+    assert not hasattr(pred.model, "apply")
+    # second predict must NOT recalibrate (runner cache persists)
+    n = len(pred._compiled)
+    pred.predict(d1, d2)
+    assert len(pred._compiled) == n
+
+
+def test_int8_requires_fold_bn():
+    cfg = Config(patch_size=16, dtype="float32", model_base=8)
+    with pytest.raises(ValueError):
+        ScenePredictor(cfg, fold_bn=False, quant="int8")
