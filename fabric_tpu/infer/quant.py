@@ -69,21 +69,33 @@ def _get(tree, path):
     return tree
 
 
+def _quantize_kernel(k: np.ndarray) -> dict:
+    sw = np.max(np.abs(k), axis=(0, 1, 2)) / 127.0
+    sw = np.maximum(sw, 1e-12)
+    wq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
+    return {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw)}
+
+
 def quantize_weights(folded_params) -> dict:
     """Per-output-channel symmetric int8 weights from BN-folded fp32 kernels.
 
     Returns {site: {"wq": int8 (3,3,Cin,Cout), "sw": f32 (Cout,),
-    "bias": f32 (Cout,)}}.  The 1x1 output head stays fp32 (negligible
-    FLOPs, and logits feed an argmax)."""
+    "bias": f32 (Cout,)}}.  Each decoder ``upK.conv1`` additionally gets
+    ``.skip``/``.up`` entries: the kernel split at the concat boundary
+    (cin//2), each half quantized with its OWN per-channel scales — the
+    split-conv decoder (conv is linear in input channels) never
+    materializes the concat and keeps the skip operand int8-resident.
+    The 1x1 output head stays fp32 (negligible FLOPs, feeds an argmax)."""
     out = {}
     for name, path in _SITES:
         p = _get(folded_params, path)
         k = np.asarray(p["kernel"], np.float32)
-        sw = np.max(np.abs(k), axis=(0, 1, 2)) / 127.0
-        sw = np.maximum(sw, 1e-12)
-        wq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
-        out[name] = {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw),
-                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+        out[name] = dict(_quantize_kernel(k),
+                         bias=jnp.asarray(p["bias"], jnp.float32))
+        if name.startswith("up") and name.endswith("conv1"):
+            cs = k.shape[2] // 2  # [skip | upsampled], equal halves
+            out[name + ".skip"] = _quantize_kernel(k[:, :, :cs])
+            out[name + ".up"] = _quantize_kernel(k[:, :, cs:])
     return out
 
 
@@ -168,12 +180,25 @@ def _make_forward(folded_params, qweights: Optional[dict],
                         act_scales["down3.conv2"], s[4])
             x5 = enc_dc(pool(x4), s[4], "down4",
                         act_scales["down4.conv2"], s[5])
-            # fusion reads the int8 tensors directly: relu(d2*d1) in int32,
-            # dequantized by the squared tensor scale
-            f = [(jnp.maximum(a[n:].astype(jnp.int32)
-                              * a[:n].astype(jnp.int32), 0)
-                  .astype(jnp.float32) * (sk * sk)).astype(dtype)
-                 for a, sk in zip((x1, x2, x3, x4, x5), s[1:])]
+            # fusion reads the int8 tensors directly: relu(d2*d1) in int32.
+            # f1..f4 are the decoder's skip operands — REQUANTIZED straight
+            # to int8 at their own calibrated scale (never bf16-resident);
+            # f5 is up1's upsample operand and dequantizes to bf16 for the
+            # align-corners resize.
+            def fuse_q(a, sk, sf):
+                prod = jnp.maximum(a[n:].astype(jnp.int32)
+                                   * a[:n].astype(jnp.int32), 0)
+                return jnp.clip(jnp.round(
+                    prod.astype(jnp.float32) * (sk * sk / sf)),
+                    0, 127).astype(jnp.int8)
+
+            sf = [act_scales[f"f{k}"] for k in range(1, 5)]
+            f = [fuse_q(a, sk, sfk) for a, sk, sfk in
+                 zip((x1, x2, x3, x4), s[1:5], sf)]
+            f5 = (jnp.maximum(x5[n:].astype(jnp.int32)
+                              * x5[:n].astype(jnp.int32), 0)
+                  .astype(jnp.float32) * (s[5] * s[5])).astype(dtype)
+            f = f + [f5]
         else:
             x1 = dc(x, "inc", stats)
             x2 = dc(pool(x1), "down1", stats)
@@ -183,16 +208,49 @@ def _make_forward(folded_params, qweights: Optional[dict],
             stats["enc.x5"] = jnp.max(jnp.abs(x5.astype(jnp.float32)))
             f = [jnp.maximum(a[n:] * a[:n], 0)
                  for a in (x1, x2, x3, x4, x5)]
+            for k in range(1, 5):
+                stats[f"f{k}"] = jnp.max(jnp.abs(
+                    f[k - 1].astype(jnp.float32)))
 
-        def up(y, skip, block):
-            y = upsample2x_align_corners(y)
-            y = jnp.concatenate([skip, y], axis=-1)
-            return dc(y, block, stats)
+        if quant:
+            # split-conv decoder: conv1 = conv(skip, K_skip) + conv(up,
+            # K_up) by linearity, each operand at its own scale — the
+            # concat never materializes and the skip stays int8-resident
+            def up_q(y, skip_q, s_skip, block):
+                u = upsample2x_align_corners(y)
+                s_u = act_scales[f"{block}.conv1"]  # concat-range scale
+                qs = qweights[f"{block}.conv1.skip"]
+                qu = qweights[f"{block}.conv1.up"]
+                a = jax.lax.conv_general_dilated(
+                    skip_q, qs["wq"], (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                bb = jax.lax.conv_general_dilated(
+                    q(u, s_u), qu["wq"], (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                h = (a.astype(jnp.float32) * (qs["sw"] * s_skip)
+                     + bb.astype(jnp.float32) * (qu["sw"] * s_u)
+                     + qweights[f"{block}.conv1"]["bias"])
+                h = jnp.maximum(h, 0.0).astype(dtype)
+                s_mid = act_scales[f"{block}.conv2"]
+                return jnp.maximum(
+                    conv_q(q(h, s_mid), s_mid, f"{block}.conv2"), 0)
 
-        y = up(f[4], f[3], "up1")
-        y = up(y, f[2], "up2")
-        y = up(y, f[1], "up3")
-        y = up(y, f[0], "up4")
+            y = up_q(f[4], f[3], act_scales["f4"], "up1")
+            y = up_q(y, f[2], act_scales["f3"], "up2")
+            y = up_q(y, f[1], act_scales["f2"], "up3")
+            y = up_q(y, f[0], act_scales["f1"], "up4")
+        else:
+            def up(y, skip, block):
+                y = upsample2x_align_corners(y)
+                y = jnp.concatenate([skip, y], axis=-1)
+                return dc(y, block, stats)
+
+            y = up(f[4], f[3], "up1")
+            y = up(y, f[2], "up2")
+            y = up(y, f[1], "up3")
+            y = up(y, f[0], "up4")
         p = folded_params["outc"]["conv"]
         logits = jax.lax.conv_general_dilated(
             y, p["kernel"].astype(dtype), (1, 1), "SAME",

@@ -55,7 +55,7 @@ class ScenePredictor:
 
     def __init__(self, cfg, checkpoint: str | None = None, bucket: int = 512,
                  fold_bn: bool = True, mesh=None, quant: str = "none",
-                 split_up_concat: bool = True):
+                 split_up_concat: bool = True, bundle: str | None = None):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -64,6 +64,31 @@ class ScenePredictor:
         self.bucket = bucket
         self.mesh = mesh
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+        if bundle is not None:
+            # pre-folded (and possibly pre-calibrated) serving artifact
+            # from tools/export.py — no checkpoint machinery at all
+            from fabric_tpu.models import BiDateNet
+            from fabric_tpu.tools.export import load_bundle
+            folded, scales, meta = load_bundle(bundle)
+            if meta["n_channels"] != cfg.n_channels:
+                raise ValueError(
+                    f"bundle n_channels {meta['n_channels']} != config "
+                    f"{cfg.n_channels}")
+            self.variables = {"params": folded, "batch_stats": {}}
+            self.model = BiDateNet(
+                n_channels=meta["n_channels"], n_classes=meta["n_classes"],
+                base=meta.get("model_base", 0) or 64, dtype=self.dtype,
+                fold_bn=True, split_up_concat=split_up_concat)
+            self.quant = quant if quant != "none" else meta.get(
+                "quant", "none")
+            if self.quant == "int8" and scales:
+                from fabric_tpu.infer import quant as q
+                self.model = q.make_int8_apply(folded, scales, self.dtype)
+            self._compiled = {}
+            log.info("loaded serving bundle %s (quant=%s)", bundle,
+                     self.quant)
+            return
 
         model = build_model(cfg)
         state = create_state(cfg, model)

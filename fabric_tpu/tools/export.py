@@ -1,0 +1,154 @@
+"""Export a trained checkpoint as a self-contained serving bundle.
+
+Deployment shouldn't repeat training-side work on every server start: this
+tool loads a checkpoint once, folds BatchNorm into the conv weights
+(ops/fold_bn.py), optionally calibrates int8 activation scales
+(infer/quant.py), and writes ONE ``.npz`` artifact that
+``ScenePredictor(..., bundle=...)`` can serve directly — no optimizer
+state, no BN statistics, no calibration at serving time.
+
+The reference had no deployment artifact at all (it pickled the whole
+torch module with its DataParallel wrapper mid-training,
+/root/reference/train.py:222); this is the TPU-native serving story.
+
+CLI:
+  python -m fabric_tpu.tools.export --config cfg.json --resume ./outputs \
+      --out model_bundle.npz [--quant int8] [--headroom 1.0]
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+_SEP = "//"
+_META_KEY = "__meta__"
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def export_bundle(cfg, checkpoint: str, out_path: str,
+                  quant: str = "none", calib_batches=None,
+                  headroom: float = 1.0) -> dict:
+    """Fold + (optionally) calibrate + write the bundle; returns its meta.
+
+    ``calib_batches``: iterable of (d1, d2) NHWC float arrays for int8
+    calibration; defaults to synthetic N(0,1) batches, which matches the
+    normalized-input distribution the model is trained on.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from fabric_tpu import checkpoint as ckpt
+    from fabric_tpu.models import build_model
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    from fabric_tpu.train.state import create_state
+
+    if cfg.model != "bidate":
+        raise ValueError("serving bundles support the bidate model "
+                         f"(got {cfg.model!r})")
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    path = checkpoint
+    if os.path.isdir(path):
+        # prefer the best-metric pointer, as the infer CLI does
+        path = (ckpt.read_pointer(path, "best")
+                or ckpt.latest_checkpoint(path))
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint in {checkpoint!r}")
+    state = ckpt.restore(state, path)
+    folded = fold_batchnorm(state.params, state.batch_stats)
+
+    meta = {"model": cfg.model, "model_base": getattr(cfg, "model_base", 0),
+            "n_channels": cfg.n_channels, "n_classes": cfg.n_classes,
+            "patch_size": cfg.patch_size, "dtype": cfg.dtype,
+            "quant": quant, "source_checkpoint": os.path.abspath(path),
+            "fold_bn": True}
+    arrays = {f"params{_SEP}{k}": v
+              for k, v in _flatten(folded).items()}
+
+    if quant == "int8":
+        from fabric_tpu.infer import quant as q
+        if calib_batches is None:
+            rng = np.random.RandomState(0)
+            p = cfg.patch_size
+            calib_batches = [(rng.randn(8, p, p, cfg.n_channels)
+                              .astype(np.float32),
+                              rng.randn(8, p, p, cfg.n_channels)
+                              .astype(np.float32))]
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        scales = q.calibrate(folded, calib_batches, dt, headroom=headroom)
+        for k, v in scales.items():
+            arrays[f"scales{_SEP}{k}"] = np.float32(v)
+
+    arrays[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = out_path + ".tmp.npz"
+    np.savez_compressed(tmp.removesuffix(".npz"), **arrays)
+    os.replace(tmp, out_path)
+    return meta
+
+
+def load_bundle(path: str) -> tuple[dict, dict | None, dict]:
+    """-> (folded_params, int8_scales | None, meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z[_META_KEY]).decode())
+        params_flat, scales = {}, {}
+        for key in z.files:
+            if key == _META_KEY:
+                continue
+            head, rest = key.split(_SEP, 1)
+            if head == "params":
+                params_flat[rest] = z[key]
+            elif head == "scales":
+                scales[rest] = float(z[key])
+    return _unflatten(params_flat), (scales or None), meta
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from fabric_tpu.config import load_config
+
+    import sys
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0],
+                                 add_help=False)
+    ap.add_argument("--out", required=True, help="output .npz bundle path")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--headroom", type=float, default=1.0)
+    args, rest = ap.parse_known_args(
+        sys.argv[1:] if argv is None else argv)
+    cfg = load_config(argv=rest)  # handles --config/--resume/overrides
+    if not cfg.resume:
+        ap.error("--resume <checkpoint or run dir> is required")
+    meta = export_bundle(cfg, cfg.resume, args.out, quant=args.quant,
+                         headroom=args.headroom)
+    print(json.dumps(meta))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,7 +70,7 @@ def test_int8_tracks_bf16(trained):
     calib = [_blob_batch(rng, 4, 32)[:2] for _ in range(3)]
     scales = quant.calibrate(folded, calib)
     assert set(scales) == ({name for name, _ in quant._SITES}
-                           | {"enc.x5"})
+                           | {"enc.x5", "f1", "f2", "f3", "f4"})
     assert all(s > 0 for s in scales.values())
 
     apply_q = quant.make_int8_apply(folded, scales)
