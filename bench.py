@@ -63,10 +63,12 @@ def flops_per_pixel(n_channels: int = 13, base: int = 64,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    # --patch default resolves per workload: 128 for infer, 96 for train.
+    # --patch/--batch defaults resolve per workload: infer 64/256 (the r2
+    # sweep optimum — scene tiling is a pure reshape when size % patch == 0
+    # and the smaller tiles measured fastest), train 96/128.
     ap.add_argument("--size", type=int, default=8192)
     ap.add_argument("--patch", type=int, default=None)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--overlap", type=int, default=0)
     ap.add_argument("--mode", choices=["device", "host"], default="device")
@@ -100,10 +102,12 @@ def main(argv=None) -> int:
                          "metric); train = train-step examples/sec")
     args = ap.parse_args(argv)
 
-    # defaults = best measured v5e configs (r2 sweep): infer 8192^2 /
-    # patch 128 / batch 128 / fold_bn -> 76.3 Mpx/s (54.7% MFU); train
-    # patch 96 / batch 128 -> 2359 ex/s (46.8% MFU).  Larger batches
-    # measured flat-to-worse (b256: 72.7 Mpx/s, 2321 ex/s).
+    # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
+    # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
+    # Mpx/s in the int8 serving mode (bf16 is flat across patch 64-128;
+    # int8: p64/b256 116.7 > p64/b512 113.8 > p32 113.0 > p128 106.1 >
+    # p96 95.2 (8192 % 96 != 0 -> gather path) > p256 77.6); train
+    # patch 96 / batch 128 -> 2359 ex/s (46.8% MFU).
     import jax
     # persistent compile cache: remote-compile latency over the TPU tunnel
     # is highly variable (7 s - 10 min for identical programs); the cache
@@ -118,7 +122,9 @@ def main(argv=None) -> int:
     from fabric_tpu.train.state import create_state
 
     if args.patch is None:
-        args.patch = 96 if args.workload == "train" else 128
+        args.patch = 96 if args.workload == "train" else 64
+    if args.batch is None:
+        args.batch = 128 if args.workload == "train" else 256
     if args.workload == "train":
         return _bench_train(args)
 

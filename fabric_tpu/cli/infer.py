@@ -21,6 +21,13 @@ def main(argv=None) -> int:
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--city", action="append", default=None)
     extra.add_argument("--output_dir", type=str, default=".")
+    extra.add_argument("--bundle", type=str, default=None,
+                       help="serve from a tools/export.py bundle instead "
+                            "of a checkpoint")
+    extra.add_argument("--quant", choices=["none", "int8"], default="none",
+                       help="int8 post-training-quantized serving path "
+                            "(self-calibrates per scene unless the bundle "
+                            "carries scales)")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
@@ -33,6 +40,29 @@ def main(argv=None) -> int:
     from fabric_tpu.utils.image import write_png
 
     cfg = load_config(argv=rest)
+    if own.bundle or own.quant != "none":
+        # fast serving path: ScenePredictor (BN-folded, split-concat,
+        # optional int8) instead of the reference-shaped step runner
+        from fabric_tpu.data.download import ensure_dataset
+        from fabric_tpu.infer.service import ScenePredictor
+        if not own.bundle and not cfg.resume:
+            print("error: --bundle or --resume is required",
+                  file=sys.stderr)
+            return 2
+        cfg.dataset_dir = ensure_dataset(cfg)
+        pred = ScenePredictor(cfg, checkpoint=cfg.resume or None,
+                              bundle=own.bundle, quant=own.quant,
+                              bucket=0)
+        cities = own.city or cfg.validation_cities
+        os.makedirs(own.output_dir, exist_ok=True)
+        from fabric_tpu.utils.image import write_png
+        for city in cities:
+            mask = pred.predict_city(city)
+            out = os.path.join(own.output_dir, f"{city}_mask.png")
+            write_png(out, mask * 255)
+            logging.info("wrote %s (%dx%d, %.2f%% change)", out,
+                         mask.shape[0], mask.shape[1], 100.0 * mask.mean())
+        return 0
     if not cfg.resume:
         print("error: --resume <checkpoint> is required", file=sys.stderr)
         return 2

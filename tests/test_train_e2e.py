@@ -73,3 +73,35 @@ def test_infer_cli_writes_mask(env, tmp_path):
     mask = read_png_gray(out)
     assert mask.shape == (97, 113)
     assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_infer_cli_int8_quant(env, tmp_path):
+    """--quant int8 serves through ScenePredictor (self-calibrated) and
+    mostly agrees with the exact-path CLI mask."""
+    from fabric_tpu.cli.infer import main
+    from fabric_tpu.utils.image import read_png_gray
+    out_a = str(tmp_path / "exact")
+    out_b = str(tmp_path / "int8")
+    base = ["--dataset_dir", env.dataset_dir, "--resume", env.weight_dir,
+            "--patch_size", "16", "--dtype", "float32", "--city", "alpha"]
+    assert main(base + ["--output_dir", out_a]) == 0
+    assert main(base + ["--output_dir", out_b, "--quant", "int8"]) == 0
+    ref = read_png_gray(os.path.join(out_a, "alpha_mask.png"))
+    got = read_png_gray(os.path.join(out_b, "alpha_mask.png"))
+    assert got.shape == ref.shape
+    assert (got == ref).mean() > 0.9
+
+
+def test_infer_cli_from_bundle(env, tmp_path):
+    from fabric_tpu.cli.infer import main
+    from fabric_tpu.tools.export import export_bundle
+    from fabric_tpu.utils.image import read_png_gray
+    bundle = str(tmp_path / "b.npz")
+    export_bundle(env, env.weight_dir, bundle, quant="int8")
+    out_dir = str(tmp_path / "masks")
+    rc = main(["--dataset_dir", env.dataset_dir, "--bundle", bundle,
+               "--patch_size", "16", "--dtype", "float32",
+               "--city", "alpha", "--output_dir", out_dir])
+    assert rc == 0
+    mask = read_png_gray(os.path.join(out_dir, "alpha_mask.png"))
+    assert mask.shape == (97, 113)
