@@ -149,22 +149,25 @@ def main(argv=None) -> int:
         # benchmarked the unfolded model)
         state = state.replace(params=variables["params"], batch_stats={},
                               apply_fn=model.apply)
-    if args.quant == "int8":
-        # calibrate activation scales on random normalized-distribution
-        # batches (throughput is scale-independent; real deployments
-        # calibrate on held-out scenes — infer/quant.py docstring)
+    def int8_apply(params):
+        """Calibrated int8 forward: activation scales from random
+        normalized-distribution batches (throughput is scale-independent;
+        real deployments calibrate on held-out scenes — infer/quant.py)."""
         from fabric_tpu.infer import quant as _quant
-        if not args.fold_bn:
-            raise SystemExit("--quant int8 requires --fold_bn")
-        if args.mode != "device":
-            raise SystemExit("--quant int8 supports --mode device only")
         rng = np.random.RandomState(7)
         calib = [(jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
                               jnp.float32),
                   jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
                               jnp.float32))]
-        scales = _quant.calibrate(variables["params"], calib)
-        model = _quant.make_int8_apply(variables["params"], scales)
+        return _quant.make_int8_apply(params,
+                                      _quant.calibrate(params, calib))
+
+    if args.quant == "int8":
+        if not args.fold_bn:
+            raise SystemExit("--quant int8 requires --fold_bn")
+        if args.mode != "device":
+            raise SystemExit("--quant int8 supports --mode device only")
+        model = int8_apply(variables["params"])
 
     shape = (args.size, args.size, 13)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -219,25 +222,15 @@ def main(argv=None) -> int:
     int8_mpx = None
     if args.mode == "device" and args.quant == "none" and args.fold_bn:
         try:
-            from fabric_tpu.infer import quant as _q
-            from fabric_tpu.infer.device_tiling import make_scene_infer
-            rng = np.random.RandomState(7)
-            calib = [(jnp.asarray(
-                rng.randn(8, args.patch, args.patch, 13), jnp.float32),
-                jnp.asarray(
-                rng.randn(8, args.patch, args.patch, 13), jnp.float32))]
-            scales = _q.calibrate(variables["params"], calib)
-            apply_q = _q.make_int8_apply(variables["params"], scales)
-            run_q = make_scene_infer(apply_q, args.patch,
-                                     (args.size, args.size),
+            run_q = make_scene_infer(int8_apply(variables["params"]),
+                                     args.patch, (args.size, args.size),
                                      batch_size=args.batch,
                                      overlap=args.overlap, dtype=dt)
-            mask = run_q(variables, d1, d2)
-            np.asarray(jnp.sum(mask.astype(jnp.int32)))
+            sync(run_q(variables, d1, d2))  # compile + first run
             t0 = time.time()
             for _ in range(args.iters):
                 mask = run_q(variables, d1, d2)
-            np.asarray(jnp.sum(mask.astype(jnp.int32)))
+            sync(mask)
             int8_mpx = (args.size * args.size) / (
                 (time.time() - t0) / args.iters) / 1e6
         except Exception as e:  # noqa: BLE001 — sidecar is best-effort

@@ -40,53 +40,49 @@ def main(argv=None) -> int:
     from fabric_tpu.utils.image import write_png
 
     cfg = load_config(argv=rest)
-    if own.bundle or own.quant != "none":
+    fast = own.bundle or own.quant != "none"
+    if not cfg.resume and not own.bundle:
+        print("error: --resume <checkpoint> is required "
+              "(or --bundle for the serving path)", file=sys.stderr)
+        return 2
+    if fast:
         # fast serving path: ScenePredictor (BN-folded, split-concat,
-        # optional int8) instead of the reference-shaped step runner
+        # optional int8, bucketed compile reuse, best-metric checkpoint,
+        # mesh-sharded tile batches) instead of the reference-shaped
+        # step runner
         from fabric_tpu.data.download import ensure_dataset
         from fabric_tpu.infer.service import ScenePredictor
-        if not own.bundle and not cfg.resume:
-            print("error: --bundle or --resume is required",
-                  file=sys.stderr)
-            return 2
         cfg.dataset_dir = ensure_dataset(cfg)
         pred = ScenePredictor(cfg, checkpoint=cfg.resume or None,
                               bundle=own.bundle, quant=own.quant,
-                              bucket=0)
-        cities = own.city or cfg.validation_cities
-        os.makedirs(own.output_dir, exist_ok=True)
-        from fabric_tpu.utils.image import write_png
-        for city in cities:
-            mask = pred.predict_city(city)
-            out = os.path.join(own.output_dir, f"{city}_mask.png")
-            write_png(out, mask * 255)
-            logging.info("wrote %s (%dx%d, %.2f%% change)", out,
-                         mask.shape[0], mask.shape[1], 100.0 * mask.mean())
-        return 0
-    if not cfg.resume:
-        print("error: --resume <checkpoint> is required", file=sys.stderr)
-        return 2
-    if os.path.isdir(cfg.resume):
-        # inference wants the BEST-metric weights, not a possibly-newer
-        # mid-epoch periodic save; fall back to latest for old run dirs
-        best = ckpt.read_pointer(cfg.resume, "best")
-        if best:
-            cfg.resume = best
-            logging.info("using best-metric checkpoint %s", best)
-    from fabric_tpu.data.download import ensure_dataset
-    cfg.dataset_dir = ensure_dataset(cfg)
-    mesh = make_mesh_from_config(cfg)
-    model = build_model(cfg)
-    state = create_state(cfg, model)
-    state, _, _ = ckpt.resume_if_requested(cfg, state)
-    infer_step = make_infer_step(model)
-    prob_step = make_infer_probs_step(model)
+                              mesh=make_mesh_from_config(cfg))
+        predict_city = pred.predict_city
+    else:
+        # reference-shaped step runner (bit-exact tiling semantics)
+        if os.path.isdir(cfg.resume):
+            # inference wants the BEST-metric weights, not a possibly-newer
+            # mid-epoch periodic save; fall back to latest for old run dirs
+            best = ckpt.read_pointer(cfg.resume, "best")
+            if best:
+                cfg.resume = best
+                logging.info("using best-metric checkpoint %s", best)
+        from fabric_tpu.data.download import ensure_dataset
+        cfg.dataset_dir = ensure_dataset(cfg)
+        mesh = make_mesh_from_config(cfg)
+        model = build_model(cfg)
+        state = create_state(cfg, model)
+        state, _, _ = ckpt.resume_if_requested(cfg, state)
+        infer_step = make_infer_step(model)
+        prob_step = make_infer_probs_step(model)
+
+        def predict_city(city):
+            return infer_city(infer_step, state, cfg, city, mesh=mesh,
+                              prob_step=prob_step)
 
     cities = own.city or cfg.validation_cities
     os.makedirs(own.output_dir, exist_ok=True)
     for city in cities:
-        mask = infer_city(infer_step, state, cfg, city, mesh=mesh,
-                          prob_step=prob_step)
+        mask = predict_city(city)
         out = os.path.join(own.output_dir, f"{city}_mask.png")
         write_png(out, mask * 255)
         logging.info("wrote %s (%dx%d, %.2f%% change)", out,

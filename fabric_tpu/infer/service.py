@@ -96,18 +96,25 @@ class ScenePredictor:
             import os
             path = checkpoint
             if os.path.isdir(path):
-                path = ckpt.latest_checkpoint(path)
+                # serving wants the BEST-metric weights, not a possibly
+                # newer mid-epoch periodic save (same policy as cli.infer
+                # and tools/export)
+                path = (ckpt.read_pointer(path, "best")
+                        or ckpt.latest_checkpoint(path))
                 if path is None:
                     raise FileNotFoundError(
                         f"no checkpoint found in {checkpoint!r}")
             state = ckpt.restore(state, path)
             log.info("loaded checkpoint %s", path)
 
-        if quant == "int8" and not (fold_bn and cfg.model == "bidate"):
-            raise ValueError("quant='int8' requires fold_bn and the bidate "
-                             "model")
+        folding = fold_bn and cfg.model == "bidate" and not cfg.use_pallas
+        if quant == "int8" and not folding:
+            raise ValueError("quant='int8' requires fold_bn=True, the "
+                             "bidate model, and use_pallas off (the "
+                             "quantized forward runs on BN-folded "
+                             "weights)")
         self.quant = quant
-        if fold_bn and cfg.model == "bidate" and not cfg.use_pallas:
+        if folding:
             from fabric_tpu.models import BiDateNet
             from fabric_tpu.ops.fold_bn import fold_batchnorm
             self.model = BiDateNet(
@@ -149,20 +156,18 @@ class ScenePredictor:
     def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
         """(H, W, C) scene pair -> (H, W) uint8 change mask."""
         if self.quant == "int8" and hasattr(self.model, "apply"):
-            # not yet calibrated: self-calibrate on patches of this pair
+            # not yet calibrated: self-calibrate on patches of this pair;
+            # any dimension short of a patch is edge-padded (never negative)
             p = self.cfg.patch_size
             h0, w0 = d1.shape[:2]
+            pads = [(0, max(p - h0, 0)), (0, max(p - w0, 0)), (0, 0)]
+            e1, e2 = (np.pad(x, pads, mode="edge") for x in (d1, d2))
             crops1, crops2 = [], []
-            for (y, x) in {(0, 0), (max(h0 - p, 0), max(w0 - p, 0)),
+            for (y, x) in {(0, 0),
+                           (max(h0 - p, 0), max(w0 - p, 0)),
                            (max((h0 - p) // 2, 0), max((w0 - p) // 2, 0))}:
-                a, b = d1[y:y + p, x:x + p], d2[y:y + p, x:x + p]
-                if a.shape[:2] == (p, p):
-                    crops1.append(a)
-                    crops2.append(b)
-            if not crops1:  # scene smaller than a patch: pad one crop
-                pads = [(0, p - h0), (0, p - w0), (0, 0)]
-                crops1 = [np.pad(d1, pads, mode="edge")]
-                crops2 = [np.pad(d2, pads, mode="edge")]
+                crops1.append(e1[y:y + p, x:x + p])
+                crops2.append(e2[y:y + p, x:x + p])
             self.calibrate([(np.stack(crops1).astype(np.float32),
                              np.stack(crops2).astype(np.float32))])
             log.info("int8 self-calibration done (%d crops)", len(crops1))
