@@ -51,11 +51,16 @@ class ScenePredictor:
       split_up_concat: decoder Up blocks read their concat sources
         directly where the concat is lane-misaligned (same math; measured
         faster on the v5e).
+      shard_scene: distribute the SCENE itself as H-bands over the mesh
+        ``data`` axis (infer/sharded_scene.py) — per-device memory scales
+        as 1/N, for scenes larger than one chip's HBM.  Grid mode only;
+        buckets are auto-aligned to ``n_data * patch_size``.
     """
 
     def __init__(self, cfg, checkpoint: str | None = None, bucket: int = 512,
                  fold_bn: bool = True, mesh=None, quant: str = "none",
-                 split_up_concat: bool = True, bundle: str | None = None):
+                 split_up_concat: bool = True, bundle: str | None = None,
+                 shard_scene: bool = False):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -63,7 +68,18 @@ class ScenePredictor:
         self.cfg = cfg
         self.bucket = bucket
         self.mesh = mesh
+        self.shard_scene = shard_scene
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if shard_scene:
+            # scene lives H-banded across the mesh (infer/sharded_scene.py:
+            # per-device memory ~1/N) — buckets must align with the bands
+            if mesh is None:
+                raise ValueError("shard_scene requires a mesh")
+            if getattr(cfg, "infer_overlap", 0):
+                raise ValueError("shard_scene supports grid mode only "
+                                 "(overlap stitching needs halos)")
+            align = mesh.shape["data"] * cfg.patch_size
+            self.bucket = max(_round_up(bucket or align, align), align)
 
         if bundle is not None:
             # pre-folded (and possibly pre-calibrated) serving artifact
@@ -144,13 +160,20 @@ class ScenePredictor:
     def _get_runner(self, h: int, w: int):
         key = (h, w)
         if key not in self._compiled:
-            from fabric_tpu.infer.device_tiling import make_scene_infer
             log.info("compiling scene runner for %dx%d", h, w)
-            self._compiled[key] = make_scene_infer(
-                self.model, self.cfg.patch_size, (h, w),
-                batch_size=self.cfg.eval_batch_size,
-                overlap=getattr(self.cfg, "infer_overlap", 0),
-                dtype=self.dtype, mesh=self.mesh)
+            if self.shard_scene:
+                from fabric_tpu.infer.sharded_scene import (
+                    make_sharded_scene_infer)
+                self._compiled[key] = make_sharded_scene_infer(
+                    self.model, self.cfg.patch_size, (h, w), self.mesh,
+                    batch_size=self.cfg.eval_batch_size, dtype=self.dtype)
+            else:
+                from fabric_tpu.infer.device_tiling import make_scene_infer
+                self._compiled[key] = make_scene_infer(
+                    self.model, self.cfg.patch_size, (h, w),
+                    batch_size=self.cfg.eval_batch_size,
+                    overlap=getattr(self.cfg, "infer_overlap", 0),
+                    dtype=self.dtype, mesh=self.mesh)
         return self._compiled[key]
 
     def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
@@ -183,8 +206,16 @@ class ScenePredictor:
             d1 = np.pad(d1, pads, mode="edge")
             d2 = np.pad(d2, pads, mode="edge")
         run = self._get_runner(ph, pw)
-        mask = run(self.variables, jnp.asarray(d1, self.dtype),
-                   jnp.asarray(d2, self.dtype))
+        if self.shard_scene:
+            # each device receives only its H-band; the full scene never
+            # occupies a single device's memory
+            from fabric_tpu.infer.sharded_scene import put_scene_sharded
+            a1 = put_scene_sharded(d1, self.mesh)
+            a2 = put_scene_sharded(d2, self.mesh)
+        else:
+            a1 = jnp.asarray(d1, self.dtype)
+            a2 = jnp.asarray(d2, self.dtype)
+        mask = run(self.variables, a1, a2)
         return np.asarray(mask)[:h, :w]
 
     def predict_city(self, city: str) -> np.ndarray:
