@@ -236,6 +236,20 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001 — sidecar is best-effort
             print(f"int8 sidecar skipped: {e!r}", file=sys.stderr)
 
+    # sidecar 2: train-step throughput at the best measured train config,
+    # so the recorded headline JSON also carries examples/sec (same
+    # best-effort contract)
+    train_eps = None
+    if args.quant == "none" and args.workload == "infer":
+        try:
+            # train steps are ~56 ms — too short for iters=3 to amortize
+            # tunnel dispatch noise (measured 1934 ex/s @3 vs 2272 @10)
+            train_eps = _train_examples_per_sec(batch=128, patch=96,
+                                                iters=max(args.iters, 10),
+                                                dtype=args.dtype)
+        except Exception as e:  # noqa: BLE001
+            print(f"train sidecar skipped: {e!r}", file=sys.stderr)
+
     n_chips = 1  # bench runs single-chip; the mesh path scales over ICI
     fpp = flops_per_pixel()
     mfu = mpx_per_sec * 1e6 * fpp / (V5E_BF16_PEAK_TFLOPS * 1e12)
@@ -262,6 +276,10 @@ def main(argv=None) -> int:
             "int8_note": ("--quant int8 serving mode on the same scene; "
                           "accuracy-bounded (tests/test_quant.py), not "
                           "bit-exact" if int8_mpx else None),
+            "train_examples_per_sec": (round(train_eps, 1)
+                                       if train_eps else None),
+            "train_config": ("patch 96 / batch 128 / tversky+SGD / bf16"
+                             if train_eps else None),
             "baseline_note": "vs_baseline divides by an ANALYTICAL "
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "
@@ -272,9 +290,10 @@ def main(argv=None) -> int:
     return 0
 
 
-def _bench_train(args) -> int:
-    """Train-step throughput: examples/sec on the reference train config
-    (90x90 patches, tversky, SGD — metadata.json:32-44), bf16 compute."""
+def _train_examples_per_sec(batch: int, patch: int, iters: int,
+                            dtype: str) -> float:
+    """Measure train-step examples/sec; also returns timing via attrs set
+    on the function (step_ms, compile_s) for the train workload's JSON."""
     import jax
     import jax.numpy as jnp
     from fabric_tpu.config import Config
@@ -283,21 +302,20 @@ def _bench_train(args) -> int:
     from fabric_tpu.train.state import create_state
     from fabric_tpu.train.steps import make_train_step
 
-    patch = args.patch
-    cfg = Config(dtype=args.dtype, patch_size=patch, batch_size=args.batch)
+    cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch)
     model = build_model(cfg)
     state = create_state(cfg, model)
     step = make_train_step(model, get_loss_fn(cfg))
 
     rng = np.random.RandomState(0)
-    batch = {
-        "img1": jnp.asarray(rng.randn(args.batch, patch, patch, 13),
+    data = {
+        "img1": jnp.asarray(rng.randn(batch, patch, patch, 13),
                             jnp.float32),
-        "img2": jnp.asarray(rng.randn(args.batch, patch, patch, 13),
+        "img2": jnp.asarray(rng.randn(batch, patch, patch, 13),
                             jnp.float32),
-        "label": jnp.asarray(rng.randint(0, 2, (args.batch, patch, patch)),
+        "label": jnp.asarray(rng.randint(0, 2, (batch, patch, patch)),
                              jnp.int32),
-        "weight": jnp.ones(args.batch, jnp.float32),
+        "weight": jnp.ones(batch, jnp.float32),
     }
 
     def sync(s):
@@ -305,15 +323,28 @@ def _bench_train(args) -> int:
             jax.tree_util.tree_leaves(s.params)[0].astype(jnp.float32)))
 
     t0 = time.time()
-    state, _ = step(state, batch)
+    state, _ = step(state, data)
     sync(state)
-    compile_s = time.time() - t0
+    _train_examples_per_sec.compile_s = time.time() - t0
     t0 = time.time()
-    for _ in range(args.iters):
-        state, stats = step(state, batch)
+    for _ in range(iters):
+        state, stats = step(state, data)
     sync(state)
-    elapsed = (time.time() - t0) / args.iters
-    eps = args.batch / elapsed
+    elapsed = (time.time() - t0) / iters
+    _train_examples_per_sec.step_ms = elapsed * 1000
+    return batch / elapsed
+
+
+def _bench_train(args) -> int:
+    """Train-step throughput: examples/sec on the reference train config
+    (90x90 patches, tversky, SGD — metadata.json:32-44), bf16 compute."""
+    import jax
+
+    patch = args.patch
+    eps = _train_examples_per_sec(args.batch, patch, max(args.iters, 10),
+                                  args.dtype)
+    elapsed = _train_examples_per_sec.step_ms / 1000
+    compile_s = _train_examples_per_sec.compile_s
     # fwd + bwd ~= 3x forward FLOPs (standard estimate)
     mfu = eps * patch * patch * flops_per_pixel() * 3 / (
         V5E_BF16_PEAK_TFLOPS * 1e12)
@@ -323,7 +354,7 @@ def _bench_train(args) -> int:
         "unit": "examples/sec/chip",
         "vs_baseline": None,
         "detail": {"patch": patch, "batch": args.batch, "dtype": args.dtype,
-                   "iters": args.iters,
+                   "iters": max(args.iters, 10),
                    "step_ms": round(elapsed * 1000, 2),
                    "compile_s": round(compile_s, 1),
                    "mfu_vs_v5e_bf16_peak": round(mfu, 3),

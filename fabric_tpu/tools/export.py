@@ -81,7 +81,8 @@ def export_bundle(cfg, checkpoint: str, out_path: str,
     state = ckpt.restore(state, path)
     folded = fold_batchnorm(state.params, state.batch_stats)
 
-    meta = {"model": cfg.model, "model_base": getattr(cfg, "model_base", 0),
+    meta = {"format_version": 1,
+            "model": cfg.model, "model_base": getattr(cfg, "model_base", 0),
             "n_channels": cfg.n_channels, "n_classes": cfg.n_classes,
             "patch_size": cfg.patch_size, "dtype": cfg.dtype,
             "quant": quant, "source_checkpoint": os.path.abspath(path),
@@ -115,6 +116,10 @@ def load_bundle(path: str) -> tuple[dict, dict | None, dict]:
     """-> (folded_params, int8_scales | None, meta)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z[_META_KEY]).decode())
+        if meta.get("format_version", 1) > 1:
+            raise ValueError(
+                f"bundle {path!r} has format_version "
+                f"{meta['format_version']}; this build reads <= 1")
         params_flat, scales = {}, {}
         for key in z.files:
             if key == _META_KEY:
