@@ -24,10 +24,11 @@ def main(argv=None) -> int:
     extra.add_argument("--bundle", type=str, default=None,
                        help="serve from a tools/export.py bundle instead "
                             "of a checkpoint")
-    extra.add_argument("--quant", choices=["none", "int8"], default="none",
-                       help="int8 post-training-quantized serving path "
+    extra.add_argument("--quant", choices=["none", "int8"], default=None,
+                       help="int8 = post-training-quantized serving "
                             "(self-calibrates per scene unless the bundle "
-                            "carries scales)")
+                            "carries scales); none = force exact bf16 even "
+                            "for an int8 bundle; unset = follow the bundle")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
@@ -40,7 +41,7 @@ def main(argv=None) -> int:
     from fabric_tpu.utils.image import write_png
 
     cfg = load_config(argv=rest)
-    fast = own.bundle or own.quant != "none"
+    fast = own.bundle is not None or own.quant == "int8"
     if not cfg.resume and not own.bundle:
         print("error: --resume <checkpoint> is required "
               "(or --bundle for the serving path)", file=sys.stderr)

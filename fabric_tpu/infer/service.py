@@ -58,7 +58,7 @@ class ScenePredictor:
     """
 
     def __init__(self, cfg, checkpoint: str | None = None, bucket: int = 512,
-                 fold_bn: bool = True, mesh=None, quant: str = "none",
+                 fold_bn: bool = True, mesh=None, quant: str | None = None,
                  split_up_concat: bool = True, bundle: str | None = None,
                  shard_scene: bool = False):
         from fabric_tpu import checkpoint as ckpt
@@ -96,7 +96,9 @@ class ScenePredictor:
                 n_channels=meta["n_channels"], n_classes=meta["n_classes"],
                 base=meta.get("model_base", 0) or 64, dtype=self.dtype,
                 fold_bn=True, split_up_concat=split_up_concat)
-            self.quant = quant if quant != "none" else meta.get(
+            # quant=None follows the bundle's own mode; "none"/"int8"
+            # force exact / quantized serving explicitly
+            self.quant = quant if quant is not None else meta.get(
                 "quant", "none")
             if self.quant == "int8" and scales:
                 from fabric_tpu.infer import quant as q
@@ -123,6 +125,7 @@ class ScenePredictor:
             state = ckpt.restore(state, path)
             log.info("loaded checkpoint %s", path)
 
+        quant = quant or "none"
         folding = fold_bn and cfg.model == "bidate" and not cfg.use_pallas
         if quant == "int8" and not folding:
             raise ValueError("quant='int8' requires fold_bn=True, the "
