@@ -34,17 +34,22 @@ class DoubleConv3D(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    fold_bn: bool = False  # BN folded into conv weights (ops/fold_bn.py)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            from fabric_tpu.models.blocks import TorchBatchNorm
-            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=jnp.float32,
-                               axis_name=self.bn_axis_name if train else None,
-                               name=f"bn{i + 1}")(x)
+            if self.fold_bn:
+                assert not train, "fold_bn is an inference-only transform"
+            else:
+                from fabric_tpu.models.blocks import TorchBatchNorm
+                x = TorchBatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32,
+                    axis_name=self.bn_axis_name if train else None,
+                    name=f"bn{i + 1}")(x)
             x = nn.relu(x).astype(self.dtype)
         return x
 
@@ -60,11 +65,13 @@ class UNet3D(nn.Module):
     base: int = 32  # 3D convs are ~3x the FLOPs/param of 2D; narrower base
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    fold_bn: bool = False  # eval-only; see ops/fold_bn.py
 
     @nn.compact
     def __call__(self, seq, train: bool = True):
         """seq: (N, T, H, W, C) -> (N, H, W, n_classes) change logits."""
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  fold_bn=self.fold_bn)
         b = self.base
         x = seq.astype(self.dtype)  # NDHWC with D = T
 
@@ -78,13 +85,11 @@ class UNet3D(nn.Module):
         s1, s2, s3, s4 = (jnp.max(v, axis=1) for v in (x1, x2, x3, x4))
         bott = jnp.mean(x5, axis=1)
 
-        y = Up(4 * b, name="up1", dtype=self.dtype,
-               bn_axis_name=self.bn_axis_name)(bott, s4, train)
-        y = Up(2 * b, name="up2", dtype=self.dtype,
-               bn_axis_name=self.bn_axis_name)(y, s3, train)
-        y = Up(b, name="up3", dtype=self.dtype,
-               bn_axis_name=self.bn_axis_name)(y, s2, train)
-        y = Up(b, name="up4", dtype=self.dtype,
-               bn_axis_name=self.bn_axis_name)(y, s1, train)
+        ukw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   fold_bn=self.fold_bn)
+        y = Up(4 * b, name="up1", **ukw)(bott, s4, train)
+        y = Up(2 * b, name="up2", **ukw)(y, s3, train)
+        y = Up(b, name="up3", **ukw)(y, s2, train)
+        y = Up(b, name="up4", **ukw)(y, s1, train)
         logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
         return logits.astype(jnp.float32)

@@ -67,13 +67,16 @@ class UNetLSTM(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    # BN folded into conv weights (ops/fold_bn.py) — eval-only fast path,
+    # same contract as BiDateNet.fold_bn (the ConvLSTM gates have no BN)
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, seq, train: bool = True):
         """seq: (N, T, H, W, C) multi-date stack -> (N, H, W, n_classes)."""
         n, t = seq.shape[0], seq.shape[1]
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                  use_pallas=self.use_pallas)
+                  use_pallas=self.use_pallas, fold_bn=self.fold_bn)
         b = self.base
 
         # shared encoder over all dates at batch N*T

@@ -46,3 +46,34 @@ def test_folded_param_tree_has_no_bn():
     out = folded_model.apply({"params": folded, "batch_stats": {}},
                              x, x, train=False)
     assert out.shape == (1, 16, 16, 2)
+
+
+def test_fold_bn_unet_lstm_and_3d():
+    """BN folding extends to the multi-date variants: folded eval logits
+    match the unfolded eval forward (the ConvLSTM gates / temporal
+    collapses carry no BN and pass through unchanged)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fabric_tpu.models.unet_lstm import UNetLSTM
+    from fabric_tpu.models.unet3d import UNet3D
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+
+    rng = np.random.RandomState(0)
+    seq = jnp.asarray(rng.randn(2, 3, 32, 32, 13), jnp.float32)
+    for cls, base in ((UNetLSTM, 16), (UNet3D, 8)):
+        model = cls(base=base, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), seq, train=False)
+        # make BN stats non-trivial so the fold actually does work
+        stats = jax.tree_util.tree_map(
+            lambda v: v + 0.1 * np.random.RandomState(1).standard_normal(
+                v.shape).astype(np.float32),
+            variables["batch_stats"])
+        ref = model.apply({"params": variables["params"],
+                           "batch_stats": stats}, seq, train=False)
+        folded = fold_batchnorm(variables["params"], stats)
+        fm = cls(base=base, dtype=jnp.float32, fold_bn=True)
+        got = fm.apply({"params": folded, "batch_stats": {}}, seq,
+                       train=False)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-4, rtol=2e-4)
