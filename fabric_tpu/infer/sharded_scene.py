@@ -98,8 +98,17 @@ def make_sharded_scene_infer(model, patch: int, scene_shape: tuple[int, int],
 
 
 def put_scene_sharded(scene, mesh) -> jax.Array:
-    """device_put a host (H, W, C) scene directly into its H-banded layout
-    — each device receives only its band, so the full scene never needs to
-    fit in one device's memory."""
-    return jax.device_put(
-        scene, NamedSharding(mesh, P("data", None, None)))
+    """Place a host (H, W, C) scene directly into its H-banded layout.
+
+    Built on ``jax.make_array_from_callback``: each device's band is
+    sliced out of ``scene`` individually, so neither any device nor the
+    host ever materializes more than one band at a time beyond what
+    ``scene`` itself occupies — pass a ``np.memmap`` (or any
+    ndarray-slicing lazy reader) and a scene larger than host RAM streams
+    band-by-band from disk to its devices."""
+    sharding = NamedSharding(mesh, P("data", None, None))
+    import numpy as np  # local: callback converts lazy slices
+
+    return jax.make_array_from_callback(
+        scene.shape, sharding,
+        lambda idx: np.ascontiguousarray(scene[idx]))

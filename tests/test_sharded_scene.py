@@ -109,3 +109,17 @@ def test_scene_predictor_shard_scene_requires_mesh():
     cfg = Config(patch_size=16, dtype="float32", model_base=8)
     with pytest.raises(ValueError):
         ScenePredictor(cfg, shard_scene=True)
+
+
+def test_put_scene_sharded_from_memmap(setup, tmp_path):
+    """A memory-mapped scene streams band-by-band: the callback slices
+    only each device's band, so scenes larger than host RAM work."""
+    _, _, mesh = setup
+    h, w, c = 8 * 16, 32, 13
+    path = tmp_path / "scene.npy"
+    np.save(path, np.arange(h * w * c, dtype=np.float32).reshape(h, w, c))
+    mm = np.load(path, mmap_mode="r")
+    arr = put_scene_sharded(mm, mesh)
+    assert arr.shape == (h, w, c)
+    np.testing.assert_array_equal(np.asarray(arr),
+                                  np.asarray(mm))
