@@ -244,9 +244,9 @@ def main(argv=None) -> int:
         try:
             # train steps are ~56 ms — too short for iters=3 to amortize
             # tunnel dispatch noise (measured 1934 ex/s @3 vs 2272 @10)
-            train_eps = _train_examples_per_sec(batch=128, patch=96,
-                                                iters=max(args.iters, 10),
-                                                dtype=args.dtype)
+            train_eps, _, _ = _train_examples_per_sec(
+                batch=128, patch=96, iters=max(args.iters, 10),
+                dtype=args.dtype)
         except Exception as e:  # noqa: BLE001
             print(f"train sidecar skipped: {e!r}", file=sys.stderr)
 
@@ -278,8 +278,8 @@ def main(argv=None) -> int:
                           "bit-exact" if int8_mpx else None),
             "train_examples_per_sec": (round(train_eps, 1)
                                        if train_eps else None),
-            "train_config": ("patch 96 / batch 128 / tversky+SGD / bf16"
-                             if train_eps else None),
+            "train_config": (f"patch 96 / batch 128 / tversky+SGD / "
+                             f"{args.dtype}" if train_eps else None),
             "baseline_note": "vs_baseline divides by an ANALYTICAL "
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "
@@ -291,9 +291,8 @@ def main(argv=None) -> int:
 
 
 def _train_examples_per_sec(batch: int, patch: int, iters: int,
-                            dtype: str) -> float:
-    """Measure train-step examples/sec; also returns timing via attrs set
-    on the function (step_ms, compile_s) for the train workload's JSON."""
+                            dtype: str) -> tuple:
+    """-> (examples_per_sec, step_ms, compile_s) for a train step."""
     import jax
     import jax.numpy as jnp
     from fabric_tpu.config import Config
@@ -325,14 +324,13 @@ def _train_examples_per_sec(batch: int, patch: int, iters: int,
     t0 = time.time()
     state, _ = step(state, data)
     sync(state)
-    _train_examples_per_sec.compile_s = time.time() - t0
+    compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
         state, stats = step(state, data)
     sync(state)
     elapsed = (time.time() - t0) / iters
-    _train_examples_per_sec.step_ms = elapsed * 1000
-    return batch / elapsed
+    return batch / elapsed, elapsed * 1000, compile_s
 
 
 def _bench_train(args) -> int:
@@ -341,10 +339,9 @@ def _bench_train(args) -> int:
     import jax
 
     patch = args.patch
-    eps = _train_examples_per_sec(args.batch, patch, max(args.iters, 10),
-                                  args.dtype)
-    elapsed = _train_examples_per_sec.step_ms / 1000
-    compile_s = _train_examples_per_sec.compile_s
+    eps, step_ms, compile_s = _train_examples_per_sec(
+        args.batch, patch, max(args.iters, 10), args.dtype)
+    elapsed = step_ms / 1000
     # fwd + bwd ~= 3x forward FLOPs (standard estimate)
     mfu = eps * patch * patch * flops_per_pixel() * 3 / (
         V5E_BF16_PEAK_TFLOPS * 1e12)

@@ -26,9 +26,11 @@ def main(argv=None) -> int:
                             "of a checkpoint")
     extra.add_argument("--quant", choices=["none", "int8"], default=None,
                        help="int8 = post-training-quantized serving "
-                            "(self-calibrates per scene unless the bundle "
-                            "carries scales); none = force exact bf16 even "
-                            "for an int8 bundle; unset = follow the bundle")
+                            "(unless the bundle carries scales, it "
+                            "calibrates once on the FIRST scene and "
+                            "reuses those scales for later cities); "
+                            "none = force exact bf16 even for an int8 "
+                            "bundle; unset = follow the bundle")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config

@@ -97,7 +97,7 @@ def make_sharded_scene_infer(model, patch: int, scene_shape: tuple[int, int],
     return run
 
 
-def put_scene_sharded(scene, mesh) -> jax.Array:
+def put_scene_sharded(scene, mesh, dtype=None) -> jax.Array:
     """Place a host (H, W, C) scene directly into its H-banded layout.
 
     Built on ``jax.make_array_from_callback``: each device's band is
@@ -105,10 +105,16 @@ def put_scene_sharded(scene, mesh) -> jax.Array:
     host ever materializes more than one band at a time beyond what
     ``scene`` itself occupies — pass a ``np.memmap`` (or any
     ndarray-slicing lazy reader) and a scene larger than host RAM streams
-    band-by-band from disk to its devices."""
+    band-by-band from disk to its devices.
+
+    ``dtype``: cast each band host-side before upload (e.g.
+    ``jnp.bfloat16``) — serving an fp32 source into a bf16 pipeline
+    without this doubles per-device HBM and transfer bytes."""
     sharding = NamedSharding(mesh, P("data", None, None))
     import numpy as np  # local: callback converts lazy slices
 
-    return jax.make_array_from_callback(
-        scene.shape, sharding,
-        lambda idx: np.ascontiguousarray(scene[idx]))
+    def band(idx):
+        b = np.ascontiguousarray(scene[idx])
+        return b.astype(dtype) if dtype is not None else b
+
+    return jax.make_array_from_callback(scene.shape, sharding, band)

@@ -32,9 +32,13 @@ def _scene_f1(mask: np.ndarray, label: np.ndarray) -> float:
 
 
 def validate(cfg, cities=None, max_f1_drop: float = 0.01,
-             bundle: str | None = None) -> tuple[list[dict], bool]:
+             bundle: str | None = None,
+             min_agreement: float = 0.95) -> tuple[list[dict], bool]:
     """-> (per-city reports, ok).  ``ok`` is False if any city's int8 F1
-    drops more than ``max_f1_drop`` below bf16."""
+    drops more than ``max_f1_drop`` below bf16, OR its pixel mask
+    agreement falls below ``min_agreement`` — the agreement gate also
+    covers cities whose label raster mismatches the scene dims (which
+    would otherwise be exempt from the F1 gate entirely)."""
     from fabric_tpu.data.oscd import load_label
     from fabric_tpu.infer.service import ScenePredictor
 
@@ -54,6 +58,7 @@ def validate(cfg, cities=None, max_f1_drop: float = 0.01,
         m_q = q.predict_city(city)
         agree = float((m_ref == m_q).mean())
         rep = {"city": city, "mask_agreement": round(agree, 5)}
+        fail = agree < min_agreement
         label = load_label(cfg.dataset_dir, city)
         if label.shape == m_ref.shape:
             f1_ref = _scene_f1(m_ref, label)
@@ -61,13 +66,12 @@ def validate(cfg, cities=None, max_f1_drop: float = 0.01,
             rep.update({"f1_bf16": round(f1_ref, 5),
                         "f1_int8": round(f1_q, 5),
                         "f1_delta": round(f1_q - f1_ref, 5)})
-            if f1_ref - f1_q > max_f1_drop:
-                rep["verdict"] = "FAIL"
-                ok = False
-            else:
-                rep["verdict"] = "ok"
+            fail = fail or (f1_ref - f1_q > max_f1_drop)
         else:
-            rep["note"] = ("label shape mismatch; agreement only")
+            rep["note"] = ("label shape mismatch; gated on mask "
+                           "agreement only")
+        rep["verdict"] = "FAIL" if fail else "ok"
+        ok = ok and not fail
         reports.append(rep)
     return reports, ok
 
@@ -82,6 +86,7 @@ def main(argv=None) -> int:
                                  add_help=False)
     ap.add_argument("--city", action="append", default=None)
     ap.add_argument("--max_f1_drop", type=float, default=0.01)
+    ap.add_argument("--min_agreement", type=float, default=0.95)
     ap.add_argument("--bundle", type=str, default=None)
     own, rest = ap.parse_known_args(
         sys.argv[1:] if argv is None else argv)
@@ -90,12 +95,14 @@ def main(argv=None) -> int:
         ap.error("--resume or --bundle is required")
     from fabric_tpu.data.download import ensure_dataset
     cfg.dataset_dir = ensure_dataset(cfg)
-    reports, ok = validate(cfg, own.city, own.max_f1_drop, own.bundle)
+    reports, ok = validate(cfg, own.city, own.max_f1_drop, own.bundle,
+                           min_agreement=own.min_agreement)
     for r in reports:
         print(json.dumps(r))
     print(json.dumps({"summary": "ok" if ok else "FAIL",
                       "cities": len(reports),
-                      "max_f1_drop": own.max_f1_drop}))
+                      "max_f1_drop": own.max_f1_drop,
+                      "min_agreement": own.min_agreement}))
     return 0 if ok else 1
 
 
