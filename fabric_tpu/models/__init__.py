@@ -17,6 +17,11 @@ def build_model(cfg):
     # (all-device) batch already — bn_axis_name/pmean is only needed under
     # shard_map/pmap, which the drivers don't use.  Setting axis_name here
     # would crash at trace time (no bound axis in jit) — advisor finding r1.
+    if getattr(cfg, "sync_batchnorm", False):
+        import logging
+        logging.getLogger("fabric_tpu").warning(
+            "sync_batchnorm=True is a no-op under jit SPMD: BN batch "
+            "statistics are already computed over the global batch")
     base = getattr(cfg, "model_base", 0)
     common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
                   dtype=dtype, bn_axis_name=None)

@@ -112,3 +112,21 @@ def test_int8_apply_in_scene_infer(trained):
     m_q = np.asarray(run_q(variables, scene1, scene2))
     assert m_ref.shape == (h, w)
     assert (m_ref == m_q).mean() > 0.97
+
+
+def test_int8_apply_overlap_mode(trained):
+    """The quantized apply also drives overlap-averaged stitching (the
+    softmax-probability path in make_scene_infer)."""
+    from fabric_tpu.infer.device_tiling import make_scene_infer
+
+    cfg, folded = trained
+    rng = np.random.RandomState(5)
+    scales = quant.calibrate(folded, [_blob_batch(rng, 2, 32)[:2]])
+    apply_q = quant.make_int8_apply(folded, scales)
+    h = w = 64
+    s1, s2, _ = _blob_batch(np.random.RandomState(6), 1, h)
+    run = make_scene_infer(apply_q, 32, (h, w), batch_size=4, overlap=8)
+    mask = np.asarray(run({"params": folded, "batch_stats": {}},
+                          s1[0], s2[0]))
+    assert mask.shape == (h, w)
+    assert set(np.unique(mask)) <= {0, 1}
