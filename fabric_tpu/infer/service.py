@@ -71,7 +71,11 @@ class ScenePredictor:
         self.bucket = bucket
         self.mesh = mesh
         self.shard_scene = shard_scene
+        self.multi_date = cfg.model in ("unet_lstm", "unet3d")
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if shard_scene and self.multi_date:
+            raise ValueError("shard_scene currently supports the bidate "
+                             "model only")
         if shard_scene:
             # scene lives H-banded across the mesh (infer/sharded_scene.py:
             # per-device memory ~1/N) — buckets must align with the bands
@@ -128,21 +132,31 @@ class ScenePredictor:
             log.info("loaded checkpoint %s", path)
 
         quant = quant or "none"
-        folding = fold_bn and cfg.model == "bidate" and not cfg.use_pallas
-        if quant == "int8" and not folding:
+        folding = fold_bn and not cfg.use_pallas and cfg.model in (
+            "bidate", "unet_lstm", "unet3d")
+        if quant == "int8" and not (folding and cfg.model == "bidate"):
             raise ValueError("quant='int8' requires fold_bn=True, the "
                              "bidate model, and use_pallas off (the "
                              "quantized forward runs on BN-folded "
                              "weights)")
         self.quant = quant
         if folding:
-            from fabric_tpu.models import BiDateNet
             from fabric_tpu.ops.fold_bn import fold_batchnorm
-            self.model = BiDateNet(
-                n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                base=getattr(cfg, "model_base", 0) or 64,
-                dtype=self.dtype, fold_bn=True,
-                split_up_concat=split_up_concat)
+            base = getattr(cfg, "model_base", 0)
+            common = dict(n_channels=cfg.n_channels,
+                          n_classes=cfg.n_classes, dtype=self.dtype,
+                          fold_bn=True)
+            if cfg.model == "bidate":
+                from fabric_tpu.models import BiDateNet
+                self.model = BiDateNet(base=base or 64,
+                                       split_up_concat=split_up_concat,
+                                       **common)
+            elif cfg.model == "unet_lstm":
+                from fabric_tpu.models.unet_lstm import UNetLSTM
+                self.model = UNetLSTM(base=base or 64, **common)
+            else:
+                from fabric_tpu.models.unet3d import UNet3D
+                self.model = UNet3D(base=base or 32, **common)
             self.variables = {
                 "params": fold_batchnorm(state.params, state.batch_stats),
                 "batch_stats": {}}
@@ -166,7 +180,16 @@ class ScenePredictor:
         key = (h, w)
         if key not in self._compiled:
             log.info("compiling scene runner for %dx%d", h, w)
-            if self.shard_scene:
+            if self.multi_date:
+                from fabric_tpu.infer.device_tiling import (
+                    make_scene_infer_multidate)
+                self._compiled[key] = make_scene_infer_multidate(
+                    self.model, self.cfg.patch_size, (h, w),
+                    num_dates=self.cfg.num_dates,
+                    batch_size=self.cfg.eval_batch_size,
+                    overlap=getattr(self.cfg, "infer_overlap", 0),
+                    dtype=self.dtype)
+            elif self.shard_scene:
                 from fabric_tpu.infer.sharded_scene import (
                     make_sharded_scene_infer)
                 self._compiled[key] = make_sharded_scene_infer(
@@ -223,10 +246,33 @@ class ScenePredictor:
         mask = run(self.variables, a1, a2)
         return np.asarray(mask)[:h, :w]
 
+    def predict_multidate(self, scenes: np.ndarray) -> np.ndarray:
+        """(T, H, W, C) date stack -> (H, W) uint8 change mask (the
+        UNetLSTM / 3D U-Net serving path)."""
+        if not self.multi_date:
+            raise ValueError("predict_multidate requires a multi-date "
+                             "model (cfg.model unet_lstm/unet3d)")
+        t, h, w = scenes.shape[:3]
+        patch = self.cfg.patch_size
+        if self.bucket:
+            ph = max(_round_up(h, self.bucket), patch)
+            pw = max(_round_up(w, self.bucket), patch)
+        else:
+            ph, pw = max(h, patch), max(w, patch)
+        if (ph, pw) != (h, w):
+            pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
+            scenes = np.pad(scenes, pads, mode="edge")
+        run = self._get_runner(ph, pw)
+        mask = run(self.variables, jnp.asarray(scenes, self.dtype))
+        return np.asarray(mask)[:h, :w]
+
     def predict_city(self, city: str) -> np.ndarray:
         from fabric_tpu.data.oscd import load_city
         from fabric_tpu.infer.runner import scene_dims
         dims = scene_dims(self.cfg.dataset_dir, city, self.cfg)
+        num_dates = self.cfg.num_dates if self.multi_date else 2
         stacked = load_city(self.cfg.dataset_dir, city, self.cfg,
-                            out_shape=dims, num_dates=2)
+                            out_shape=dims, num_dates=num_dates)
+        if self.multi_date:
+            return self.predict_multidate(np.asarray(stacked))
         return self.predict(stacked[0], stacked[1])
