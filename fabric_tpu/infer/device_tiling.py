@@ -100,27 +100,66 @@ def _coset_overlap_add(tiles: jax.Array, ys: np.ndarray, xs: np.ndarray,
     return acc
 
 
-def make_scene_infer_multidate(model, patch: int,
-                               scene_shape: tuple[int, int],
-                               num_dates: int, batch_size: int = 32,
-                               overlap: int = 0, dtype=jnp.bfloat16):
-    """On-device whole-scene inference for the multi-date variants
-    (UNetLSTM / 3D U-Net): ``(variables, scenes) -> (H, W) mask`` with
-    ``scenes`` a (T, H, W, C) date stack.  Same tile grid, chunked
-    forward, and stitching semantics as :func:`make_scene_infer`; each
-    tile batch is a (N, T, patch, patch, C) stack fed to
-    ``model.apply(variables, imgs, train=False)``."""
-    h, w = scene_shape
-    stride = patch - overlap if overlap else patch
+def _plan_grid(h: int, w: int, patch: int, stride: int,
+               batch_size: int):
+    """Shared tile-grid plan: positions, counts, chunking, origins."""
     ys = _axis_positions(h, patch, stride)
     xs = _axis_positions(w, patch, stride)
     k = len(ys) * len(xs)
     pad = (-k) % batch_size
     n_chunks = (k + pad) // batch_size
+    # per-tile top-left corners, row-major over (ys, xs)
     origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),
                        axis=-1).reshape(-1, 2)
     origins = np.concatenate(
         [origins, np.zeros((pad, 2), np.int32)]).astype(np.int32)
+    return ys, xs, k, pad, n_chunks, origins
+
+
+def _stitch(outs, ys, xs, origins, k: int, h: int, w: int, patch: int,
+            stride: int, overlap: int):
+    """Shared stitch tail: overlap-average / aligned-reshape / scan-paste."""
+    if overlap:
+        grid2d = outs[:k].astype(jnp.float32).reshape(
+            len(ys), len(xs), patch, patch)
+        acc = _coset_overlap_add(grid2d, ys, xs, h, w, patch, stride)
+        cnt = _coset_overlap_add(jnp.ones_like(grid2d), ys, xs, h, w,
+                                 patch, stride)
+        return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
+
+    if _is_aligned(ys, h, patch) and _is_aligned(xs, w, patch):
+        # evenly-divisible scene: stitch is the inverse reshape
+        t = outs[:k].reshape(len(ys), len(xs), patch, patch)
+        return t.transpose(0, 2, 1, 3).reshape(h, w)
+
+    canvas = jnp.zeros((h, w), jnp.uint8)
+
+    def paste(canvas, inp):
+        tile, org = inp
+        return jax.lax.dynamic_update_slice(
+            canvas, tile, (org[0], org[1])), None
+
+    canvas, _ = jax.lax.scan(
+        paste, canvas, (outs[:k], jnp.asarray(origins[:k])))
+    return canvas
+
+
+def make_scene_infer_multidate(model, patch: int,
+                               scene_shape: tuple[int, int],
+                               num_dates: int, batch_size: int = 32,
+                               overlap: int = 0, dtype=jnp.bfloat16,
+                               mesh=None):
+    """On-device whole-scene inference for the multi-date variants
+    (UNetLSTM / 3D U-Net): ``(variables, scenes) -> (H, W) mask`` with
+    ``scenes`` a (num_dates, H, W, C) date stack.  Same tile grid, chunked
+    forward, and stitching semantics as :func:`make_scene_infer`; each
+    tile batch is a (N, T, patch, patch, C) stack fed to
+    ``model.apply(variables, imgs, train=False)``.  ``mesh`` shards each
+    tile batch over the ``data`` axis, as in :func:`make_scene_infer`."""
+    h, w = scene_shape
+    stride = patch - overlap if overlap else patch
+    ys, xs, k, pad, n_chunks, origins = _plan_grid(h, w, patch, stride,
+                                                   batch_size)
     apply_fn = model.apply if hasattr(model, "apply") else model
 
     def forward(variables, tiles):
@@ -131,6 +170,9 @@ def make_scene_infer_multidate(model, patch: int,
 
     @jax.jit
     def run(variables, scenes):
+        if scenes.shape[0] != num_dates:
+            raise ValueError(f"expected a ({num_dates}, H, W, C) date "
+                             f"stack, got shape {scenes.shape}")
         t = jax.vmap(lambda s: _gather_tiles(s.astype(dtype), ys, xs,
                                              patch))(scenes)
         t = jnp.swapaxes(t, 0, 1)  # (K, T, patch, patch, C)
@@ -138,31 +180,15 @@ def make_scene_infer_multidate(model, patch: int,
             t = jnp.concatenate(
                 [t, jnp.zeros((pad,) + t.shape[1:], t.dtype)])
         t = t.reshape((n_chunks, batch_size) + t.shape[1:])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(
+                mesh, P(None, "data", None, None, None, None))
+            t = jax.lax.with_sharding_constraint(t, spec)
         outs = jax.lax.map(lambda ts: forward(variables, ts), t)
-        outs = outs.reshape(-1, patch, patch)[:k + pad]
-
-        if overlap:
-            grid2d = outs[:k].astype(jnp.float32).reshape(
-                len(ys), len(xs), patch, patch)
-            acc = _coset_overlap_add(grid2d, ys, xs, h, w, patch, stride)
-            cnt = _coset_overlap_add(jnp.ones_like(grid2d), ys, xs, h, w,
-                                     patch, stride)
-            return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
-
-        if _is_aligned(ys, h, patch) and _is_aligned(xs, w, patch):
-            t2 = outs[:k].reshape(len(ys), len(xs), patch, patch)
-            return t2.transpose(0, 2, 1, 3).reshape(h, w)
-
-        canvas = jnp.zeros((h, w), jnp.uint8)
-
-        def paste(canvas, inp):
-            tile, org = inp
-            return jax.lax.dynamic_update_slice(
-                canvas, tile, (org[0], org[1])), None
-
-        canvas, _ = jax.lax.scan(
-            paste, canvas, (outs[:k], jnp.asarray(origins[:k])))
-        return canvas
+        outs = outs.reshape(-1, patch, patch)
+        return _stitch(outs, ys, xs, origins, k, h, w, patch, stride,
+                       overlap)
 
     return run
 
@@ -183,16 +209,8 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
     """
     h, w = scene_shape
     stride = patch - overlap if overlap else patch
-    ys = _axis_positions(h, patch, stride)
-    xs = _axis_positions(w, patch, stride)
-    k = len(ys) * len(xs)
-    pad = (-k) % batch_size
-    n_chunks = (k + pad) // batch_size
-    # per-tile top-left corners, row-major over (ys, xs)
-    origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),
-                       axis=-1).reshape(-1, 2)
-    origins = np.concatenate(
-        [origins, np.zeros((pad, 2), np.int32)]).astype(np.int32)
+    ys, xs, k, pad, n_chunks, origins = _plan_grid(h, w, patch, stride,
+                                                   batch_size)
 
     # ``model`` is a Flax module or any ``(variables, d1, d2, train=False)
     # -> logits`` callable (e.g. infer.quant.make_int8_apply's closure)
@@ -220,30 +238,8 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
             t1 = jax.lax.with_sharding_constraint(t1, spec)
             t2 = jax.lax.with_sharding_constraint(t2, spec)
         outs = jax.lax.map(lambda ab: forward(variables, *ab), (t1, t2))
-        outs = outs.reshape(-1, patch, patch)[:k + pad]
-
-        if overlap:
-            grid2d = outs[:k].astype(jnp.float32).reshape(
-                len(ys), len(xs), patch, patch)
-            acc = _coset_overlap_add(grid2d, ys, xs, h, w, patch, stride)
-            cnt = _coset_overlap_add(jnp.ones_like(grid2d), ys, xs, h, w,
-                                     patch, stride)
-            return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
-
-        if _is_aligned(ys, h, patch) and _is_aligned(xs, w, patch):
-            # evenly-divisible scene: stitch is the inverse reshape
-            t = outs[:k].reshape(len(ys), len(xs), patch, patch)
-            return t.transpose(0, 2, 1, 3).reshape(h, w)
-
-        canvas = jnp.zeros((h, w), jnp.uint8)
-
-        def paste(canvas, inp):
-            tile, org = inp
-            return jax.lax.dynamic_update_slice(
-                canvas, tile, (org[0], org[1])), None
-
-        canvas, _ = jax.lax.scan(
-            paste, canvas, (outs[:k], jnp.asarray(origins[:k])))
-        return canvas
+        outs = outs.reshape(-1, patch, patch)
+        return _stitch(outs, ys, xs, origins, k, h, w, patch, stride,
+                       overlap)
 
     return run

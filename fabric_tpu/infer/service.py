@@ -90,6 +90,10 @@ class ScenePredictor:
         if bundle is not None:
             # pre-folded (and possibly pre-calibrated) serving artifact
             # from tools/export.py — no checkpoint machinery at all
+            if self.multi_date:
+                raise ValueError("serving bundles are bidate-only "
+                                 "(tools/export.py); serve "
+                                 f"{cfg.model!r} from a checkpoint")
             from fabric_tpu.models import BiDateNet
             from fabric_tpu.tools.export import load_bundle
             folded, scales, meta = load_bundle(bundle)
@@ -176,6 +180,14 @@ class ScenePredictor:
                                        self.dtype)
         self._compiled.clear()
 
+    def _bucket_dims(self, h: int, w: int) -> tuple[int, int]:
+        """Padded (H, W) for this scene under the bucket policy."""
+        patch = self.cfg.patch_size
+        if self.bucket:
+            return (max(_round_up(h, self.bucket), patch),
+                    max(_round_up(w, self.bucket), patch))
+        return max(h, patch), max(w, patch)
+
     def _get_runner(self, h: int, w: int):
         key = (h, w)
         if key not in self._compiled:
@@ -188,7 +200,7 @@ class ScenePredictor:
                     num_dates=self.cfg.num_dates,
                     batch_size=self.cfg.eval_batch_size,
                     overlap=getattr(self.cfg, "infer_overlap", 0),
-                    dtype=self.dtype)
+                    dtype=self.dtype, mesh=self.mesh)
             elif self.shard_scene:
                 from fabric_tpu.infer.sharded_scene import (
                     make_sharded_scene_infer)
@@ -206,6 +218,9 @@ class ScenePredictor:
 
     def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
         """(H, W, C) scene pair -> (H, W) uint8 change mask."""
+        if self.multi_date:
+            raise ValueError("this predictor serves a multi-date model; "
+                             "use predict_multidate((T, H, W, C))")
         if self.quant == "int8" and hasattr(self.model, "apply"):
             # not yet calibrated: self-calibrate on patches of this pair;
             # any dimension short of a patch is edge-padded (never negative)
@@ -223,12 +238,7 @@ class ScenePredictor:
                              np.stack(crops2).astype(np.float32))])
             log.info("int8 self-calibration done (%d crops)", len(crops1))
         h, w = d1.shape[:2]
-        patch = self.cfg.patch_size
-        if self.bucket:
-            ph = max(_round_up(h, self.bucket), patch)
-            pw = max(_round_up(w, self.bucket), patch)
-        else:
-            ph, pw = max(h, patch), max(w, patch)
+        ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, ph - h), (0, pw - w), (0, 0)]
             d1 = np.pad(d1, pads, mode="edge")
@@ -253,12 +263,7 @@ class ScenePredictor:
             raise ValueError("predict_multidate requires a multi-date "
                              "model (cfg.model unet_lstm/unet3d)")
         t, h, w = scenes.shape[:3]
-        patch = self.cfg.patch_size
-        if self.bucket:
-            ph = max(_round_up(h, self.bucket), patch)
-            pw = max(_round_up(w, self.bucket), patch)
-        else:
-            ph, pw = max(h, patch), max(w, patch)
+        ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
             scenes = np.pad(scenes, pads, mode="edge")
