@@ -102,21 +102,16 @@ def _coset_overlap_add(tiles: jax.Array, ys: np.ndarray, xs: np.ndarray,
 
 def _plan_grid(h: int, w: int, patch: int, stride: int,
                batch_size: int):
-    """Shared tile-grid plan: positions, counts, chunking, origins."""
+    """Shared tile-grid plan: positions, counts, chunking."""
     ys = _axis_positions(h, patch, stride)
     xs = _axis_positions(w, patch, stride)
     k = len(ys) * len(xs)
     pad = (-k) % batch_size
     n_chunks = (k + pad) // batch_size
-    # per-tile top-left corners, row-major over (ys, xs)
-    origins = np.stack(np.meshgrid(ys, xs, indexing="ij"),
-                       axis=-1).reshape(-1, 2)
-    origins = np.concatenate(
-        [origins, np.zeros((pad, 2), np.int32)]).astype(np.int32)
-    return ys, xs, k, pad, n_chunks, origins
+    return ys, xs, k, pad, n_chunks
 
 
-def _stitch(outs, ys, xs, origins, k: int, h: int, w: int, patch: int,
+def _stitch(outs, ys, xs, k: int, h: int, w: int, patch: int,
             stride: int, overlap: int):
     """Shared stitch tail: overlap-average / aligned-reshape / scan-paste."""
     if overlap:
@@ -132,15 +127,36 @@ def _stitch(outs, ys, xs, origins, k: int, h: int, w: int, patch: int,
         t = outs[:k].reshape(len(ys), len(xs), patch, patch)
         return t.transpose(0, 2, 1, 3).reshape(h, w)
 
-    canvas = jnp.zeros((h, w), jnp.uint8)
+    # Non-divisible scene, grid mode (stride == patch): every position is on
+    # the regular grid except at most one edge-anchored stop per axis
+    # (_axis_positions).  Row-major overwrite precedence (reference
+    # inference.py:184-236) therefore reduces to FOUR static pastes —
+    # regular grid as one reshape, then right column band, bottom row band,
+    # and corner overwrites — instead of a serial scan of K
+    # dynamic_update_slice ops (r2 weak #1: ~7.4k sequential updates at
+    # 8192²/p96).
+    ny, nx = len(ys), len(xs)
+    y_edge = int(ys[-1]) != (ny - 1) * stride
+    x_edge = int(xs[-1]) != (nx - 1) * stride
+    ny_reg, nx_reg = ny - y_edge, nx - x_edge
+    grid2d = outs[:k].reshape(ny, nx, patch, patch)
 
-    def paste(canvas, inp):
-        tile, org = inp
-        return jax.lax.dynamic_update_slice(
-            canvas, tile, (org[0], org[1])), None
-
-    canvas, _ = jax.lax.scan(
-        paste, canvas, (outs[:k], jnp.asarray(origins[:k])))
+    canvas = jnp.zeros((h, w), outs.dtype)
+    reg = grid2d[:ny_reg, :nx_reg].transpose(0, 2, 1, 3)
+    canvas = canvas.at[: ny_reg * patch, : nx_reg * patch].set(
+        reg.reshape(ny_reg * patch, nx_reg * patch))
+    if x_edge:
+        x0 = int(xs[-1])
+        col = grid2d[:ny_reg, nx - 1].reshape(ny_reg * patch, patch)
+        canvas = canvas.at[: ny_reg * patch, x0:x0 + patch].set(col)
+    if y_edge:
+        y0 = int(ys[-1])
+        row = grid2d[ny - 1, :nx_reg].transpose(1, 0, 2)
+        canvas = canvas.at[y0:y0 + patch, : nx_reg * patch].set(
+            row.reshape(patch, nx_reg * patch))
+    if y_edge and x_edge:
+        canvas = canvas.at[int(ys[-1]):h, int(xs[-1]):w].set(
+            grid2d[ny - 1, nx - 1])
     return canvas
 
 
@@ -158,8 +174,7 @@ def make_scene_infer_multidate(model, patch: int,
     tile batch over the ``data`` axis, as in :func:`make_scene_infer`."""
     h, w = scene_shape
     stride = patch - overlap if overlap else patch
-    ys, xs, k, pad, n_chunks, origins = _plan_grid(h, w, patch, stride,
-                                                   batch_size)
+    ys, xs, k, pad, n_chunks = _plan_grid(h, w, patch, stride, batch_size)
     apply_fn = model.apply if hasattr(model, "apply") else model
 
     def forward(variables, tiles):
@@ -187,8 +202,7 @@ def make_scene_infer_multidate(model, patch: int,
             t = jax.lax.with_sharding_constraint(t, spec)
         outs = jax.lax.map(lambda ts: forward(variables, ts), t)
         outs = outs.reshape(-1, patch, patch)
-        return _stitch(outs, ys, xs, origins, k, h, w, patch, stride,
-                       overlap)
+        return _stitch(outs, ys, xs, k, h, w, patch, stride, overlap)
 
     return run
 
@@ -209,8 +223,7 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
     """
     h, w = scene_shape
     stride = patch - overlap if overlap else patch
-    ys, xs, k, pad, n_chunks, origins = _plan_grid(h, w, patch, stride,
-                                                   batch_size)
+    ys, xs, k, pad, n_chunks = _plan_grid(h, w, patch, stride, batch_size)
 
     # ``model`` is a Flax module or any ``(variables, d1, d2, train=False)
     # -> logits`` callable (e.g. infer.quant.make_int8_apply's closure)
@@ -239,7 +252,6 @@ def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
             t2 = jax.lax.with_sharding_constraint(t2, spec)
         outs = jax.lax.map(lambda ab: forward(variables, *ab), (t1, t2))
         outs = outs.reshape(-1, patch, patch)
-        return _stitch(outs, ys, xs, origins, k, h, w, patch, stride,
-                       overlap)
+        return _stitch(outs, ys, xs, k, h, w, patch, stride, overlap)
 
     return run

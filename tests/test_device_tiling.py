@@ -43,6 +43,22 @@ def test_device_matches_host_reference_mode(setup):
     np.testing.assert_array_equal(dev, host)
 
 
+@pytest.mark.parametrize("shape", [(48, 55), (40, 48), (48, 48)])
+def test_device_matches_host_single_axis_edges(setup, shape):
+    # pin every branch of the static edge-band stitch: y-edge only,
+    # x-edge only, and fully aligned
+    cfg, model, state, variables, _, _ = setup
+    rng = np.random.RandomState(1)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    host = predict_scene(make_infer_step(model), state, d1, d2,
+                         patch_size=16, batch_size=8)
+    run = make_scene_infer(model, 16, shape, batch_size=8,
+                           dtype=jnp.float32)
+    dev = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_device_matches_host_overlap_mode(setup):
     cfg, model, state, variables, d1, d2 = setup
     host = predict_scene(make_infer_step(model), state, d1, d2,
