@@ -136,6 +136,7 @@ class Config:
     log_every: int = 0
     infer_overlap: int = 0  # overlap (px) for overlap-averaged stitching; 0 = ref grid
     steps_per_epoch: int = 0  # 0 = full pass; >0 caps batches per epoch (debug)
+    shuffle_train: bool = True  # False = deterministic metadata-order batches
     # capture a jax profiler trace (TensorBoard/Perfetto format) of the
     # first profile_steps train steps into this directory ("" = off)
     profile_dir: str = ""

@@ -115,8 +115,23 @@ class GPUCB:
 
 
 def run_search(base_cfg_dict: dict, trials: int = 16, search: str = "random",
-               seed: int = 0, train_fn=None, log_path: str | None = None):
-    """Returns (best_params, best_f1, all_results)."""
+               seed: int = 0, train_fn=None, log_path: str | None = None,
+               resume: bool = False, failure_score: float = 0.0):
+    """Returns (best_params, best_f1, all_results).
+
+    A trial that raises (NaN loss, OOM, ...) is recorded with
+    ``failure_score`` and the search continues — the reference's Polyaxon
+    group tolerated failed experiments the same way; one bad point must not
+    lose the whole GP state (r2 weak #4).
+
+    ``resume=True`` replays completed trials from ``log_path`` before
+    running the remainder: the searcher's proposals are re-asked with the
+    same ``seed`` (reconstructing both RNG and GP state exactly) and told
+    the recorded scores, so a resumed study continues bit-identically to
+    the uninterrupted one.
+    """
+    import logging
+    import os
     from fabric_tpu.config import Config
     if train_fn is None:
         from fabric_tpu.train.loop import train as train_fn_  # noqa
@@ -126,23 +141,45 @@ def run_search(base_cfg_dict: dict, trials: int = 16, search: str = "random",
     if bo is None:
         candidates = (grid_params(trials)[:trials] if search == "grid"
                       else [sample_params(rng) for _ in range(trials)])
+    done: list[dict] = []
+    if resume and log_path and os.path.exists(log_path):
+        with open(log_path) as fin:
+            done = [json.loads(line) for line in fin if line.strip()]
     results = []
     best, best_f1 = None, -1.0
     log = open(log_path, "a") if log_path else None
     for i in range(trials):
         params = bo.ask() if bo is not None else candidates[i]
-        cfg = Config.from_dict({**base_cfg_dict, **params,
-                                "loss_function": "tversky"})
-        _, history = train_fn(cfg, run_scene_inference=False)
-        f1 = history["val"][-1]["cd_f1scores"] if history["val"] else 0.0
+        if i < len(done):
+            # replay a completed trial into the searcher state (no re-run)
+            rec = done[i]
+            if any(abs(rec.get(k, params[k]) - params[k]) > 1e-9
+                   for k in SPACE):
+                logging.warning(
+                    "tune resume: trial %d proposal %s != logged %s "
+                    "(seed/search args changed?)", i, params, rec)
+            f1 = float(rec["validate_cd_f1scores"])
+        else:
+            cfg = Config.from_dict({**base_cfg_dict, **params,
+                                    "loss_function": "tversky"})
+            rec = {"trial": i, **params}
+            try:
+                _, history = train_fn(cfg, run_scene_inference=False)
+                f1 = (history["val"][-1]["cd_f1scores"]
+                      if history["val"] else 0.0)
+                if not np.isfinite(f1):
+                    raise FloatingPointError(f"non-finite val F1: {f1}")
+            except Exception as e:  # noqa: BLE001 — isolate trial failures
+                logging.warning("tune trial %d failed: %s", i, e)
+                f1, rec["failed"], rec["error"] = failure_score, True, str(e)
+            rec["validate_cd_f1scores"] = f1
+            if log:
+                log.write(json.dumps(rec) + "\n")
+                log.flush()
         if bo is not None:
             bo.tell(f1)
-        rec = {"trial": i, **params, "validate_cd_f1scores": f1}
         results.append(rec)
-        if log:
-            log.write(json.dumps(rec) + "\n")
-            log.flush()
-        if f1 > best_f1:
+        if f1 > best_f1 and not rec.get("failed"):
             best, best_f1 = params, f1
     if log:
         log.close()
@@ -158,6 +195,8 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default="tune_results.jsonl")
+    ap.add_argument("--resume", action="store_true",
+                    help="replay completed trials from --log, then continue")
     args = ap.parse_args(argv)
     base = {}
     if args.config:
@@ -166,7 +205,7 @@ def main(argv=None) -> int:
     if args.epochs:
         base["epochs"] = args.epochs
     best, best_f1, _ = run_search(base, args.trials, args.search, args.seed,
-                                  log_path=args.log)
+                                  log_path=args.log, resume=args.resume)
     print(json.dumps({"best_params": best,
                       "validate_cd_f1scores": best_f1}))
     return 0

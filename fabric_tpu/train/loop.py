@@ -217,8 +217,14 @@ def improved(mean_val: dict, best: dict) -> bool:
 
 
 def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
-          run_scene_inference: bool = True):
-    """Run the full training driver; returns (state, history dict)."""
+          run_scene_inference: bool = True, init_variables: dict | None = None,
+          metadata: tuple[list, list] | None = None):
+    """Run the full training driver; returns (state, history dict).
+
+    ``init_variables`` warm-starts from an existing {params, batch_stats}
+    tree; ``metadata`` overrides the (train, val) patch lists (entries are
+    (city, x, y)) — both used by the loop-parity oracle to pin the exact
+    starting point and sample order of the reference script."""
     if dataset is None:
         # resolve before log_params so the recorded config matches what is
         # actually read (archives may nest the dataset one level down)
@@ -253,13 +259,17 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     log.info("loading dataset from %s", cfg.dataset_dir)
     data = dataset if dataset is not None else full_load(
         cfg.dataset_dir, cfg, max_workers=cfg.num_workers or None)
-    train_md, val_md = get_train_val_metadata(
-        cfg.dataset_dir, cfg.validation_cities, cfg.patch_size, cfg.stride)
+    if metadata is not None:
+        train_md, val_md = metadata
+    else:
+        train_md, val_md = get_train_val_metadata(
+            cfg.dataset_dir, cfg.validation_cities, cfg.patch_size,
+            cfg.stride)
     log.info("train samples: %d  val samples: %d", len(train_md), len(val_md))
 
     model = build_model(cfg)
     loss_fn = get_loss_fn(cfg)
-    state = create_state(cfg, model)
+    state = create_state(cfg, model, variables=init_variables)
     state, resumed_epoch, resumed_meta = ckpt.resume_if_requested(cfg, state)
     if resumed_epoch >= 0:
         log.info("resumed from epoch %d (step %d)", resumed_epoch, state.step)
@@ -291,7 +301,8 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                                seed=cfg.seed + epoch,
                                multi_date=multi_date)
         batches = prefetch_to_device(
-            batch_iterator(sampler, cfg.batch_size, shuffle=True,
+            batch_iterator(sampler, cfg.batch_size,
+                           shuffle=cfg.shuffle_train,
                            pad_mode="wrap", seed=cfg.seed + epoch,
                            max_batches=cfg.steps_per_epoch,
                            process_index=pidx, process_count=pcount),

@@ -65,22 +65,27 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 
 
 def create_state(cfg, model, rng: jax.Array | None = None,
-                 sample_shape: tuple | None = None) -> TrainState:
+                 sample_shape: tuple | None = None,
+                 variables: dict | None = None) -> TrainState:
     """Initialize model variables and the optimizer.
 
     ``sample_shape`` is (H, W); init runs on batch 1 (shapes don't matter
-    for param shapes, only channel counts do).
+    for param shapes, only channel counts do).  ``variables`` warm-starts
+    from an existing {params, batch_stats} tree (transfer learning, or the
+    loop-parity oracle seeding from the torch reference's init).
     """
-    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
-    h = w = cfg.patch_size
-    if sample_shape is not None:
-        h, w = sample_shape
-    dummy = jnp.zeros((1, h, w, cfg.n_channels), jnp.float32)
-    if cfg.model in ("unet_lstm", "unet3d"):
-        seq = jnp.zeros((1, cfg.num_dates, h, w, cfg.n_channels), jnp.float32)
-        variables = model.init(rng, seq, train=False)
-    else:
-        variables = model.init(rng, dummy, dummy, train=False)
+    if variables is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        h = w = cfg.patch_size
+        if sample_shape is not None:
+            h, w = sample_shape
+        dummy = jnp.zeros((1, h, w, cfg.n_channels), jnp.float32)
+        if cfg.model in ("unet_lstm", "unet3d"):
+            seq = jnp.zeros((1, cfg.num_dates, h, w, cfg.n_channels),
+                            jnp.float32)
+            variables = model.init(rng, seq, train=False)
+        else:
+            variables = model.init(rng, dummy, dummy, train=False)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

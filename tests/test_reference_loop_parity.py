@@ -1,0 +1,195 @@
+"""Full-loop epoch-level parity against the ACTUAL reference train.py.
+
+The last rung of the parity ladder (model logits -> losses -> 1-step ->
+5-step -> THIS): run /root/reference/train.py end-to-end offline via
+tests/ref_loop_driver.py (comet/polyaxon/rasterio stubbed, loader shuffles
+disabled for a shared deterministic sample order), then run our
+``fabric_tpu.train.loop.train(compat_reference=True)`` from the same torch
+initialization on the same synthetic OSCD-layout dataset, and assert:
+
+- per-epoch mean-of-per-batch train/val cd_losses/corrects/P/R/F1 match
+  (train.py:108-120,160-172 vs train/loop.py),
+- the best-checkpoint decision sequence matches (train.py:210-228),
+- final parameters match after 3 epochs x 7 SGD steps,
+- the per-epoch whole-scene masks match on a NON-SQUARE non-divisible
+  scene — which also settles the reference's "TEMPORARY FIX" W/H swap
+  (inference.py:47-51): city_loader's (h, w) parameter names are
+  themselves swapped vs cv2.resize's (width, height) convention
+  (dataloaders.py:86-97), so the double swap is a NO-OP and both
+  pipelines produce the same, correctly-oriented mask.  Proven here on a
+  70x140 scene.
+
+With no egress (real OSCD unreachable) this is the strongest available
+evidence for the "F1 within 1%" north star: the loops are the same math.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "models")),
+    reason="reference repo not mounted")
+
+from test_reference_parity import _transfer  # noqa: E402
+
+EPOCHS = 3
+PATCH, STRIDE, BATCH = 32, 32, 4
+VAL_CITIES = ["gamma"]
+# train: alpha 16 + beta 12 = 28 patches, val: gamma (70x140) -> 8; both
+# divisible by BATCH so neither side pads (torch's ragged final batch has
+# no wrap-pad analogue)
+SIZES = [(128, 128), (96, 128), (70, 140)]
+
+
+def _torch_variables(state_path):
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.bidate_model import BiDateNet as TorchBiDateNet
+    finally:
+        sys.path.pop(0)
+    tm = TorchBiDateNet(13, 2)
+    tm.load_state_dict(torch.load(state_path, weights_only=True))
+    tm.eval()
+    return _transfer(tm)
+
+
+@pytest.fixture(scope="module")
+def parity_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("loop_parity")
+    data_dir = str(root / "data") + "/"  # reference concats data_dir+'labels/'
+    out_dir = str(root / "ref_out")
+
+    from fabric_tpu.config import Config
+    cfg = Config(patch_size=PATCH, stride=STRIDE, dtype="float32")
+    from fabric_tpu.data.synthetic import generate_synthetic_dataset
+    generate_synthetic_dataset(data_dir, cfg,
+                               cities=["alpha", "beta", "gamma"],
+                               sizes=SIZES, seed=7)
+
+    ref_cfg = {
+        "band_ids": cfg.band_ids,
+        "band_means": cfg.band_means,
+        "band_stds": cfg.band_stds,
+        "stretch_8bit": {"lower": 2, "higher": 98},
+        "patch_size": PATCH, "stride": STRIDE, "augmentation": False,
+        "num_gpus": 0, "num_workers": 0,
+        "epochs": EPOCHS, "batch_size": BATCH, "learning_rate": 0.001,
+        "loss_function": "tversky", "tversky_alpha": 0.1,
+        "tversky_beta": 0.9,
+        "project_name": "parity", "dataset_name": "synthetic",
+        "validation_cities": VAL_CITIES,
+        # relative to the driver's cwd (out_dir): generate_patches strips
+        # leading '/' from every path component (inference.py:15-17), so an
+        # absolute dataset_dir would silently become relative there
+        "dataset_dir": "../data/",
+        "weight_dir": "/tmp/", "log_dir": "./log/",
+    }
+    cfg_path = str(root / "ref_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(ref_cfg, f)
+
+    env = dict(os.environ, PYTHONHASHSEED="0", MPLBACKEND="Agg")
+    env.pop("PYTHONPATH", None)  # the driver must not see our jax conftest
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "ref_loop_driver.py"),
+         cfg_path, out_dir],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, (
+        f"reference driver failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+    assert "REF_LOOP_DRIVER_OK" in proc.stdout
+    with open(os.path.join(out_dir, "dumps.json")) as f:
+        dumps = json.load(f)
+
+    # --- our side: same init, same sample order, same config -------------
+    ours_cfg = Config(
+        dataset_dir=data_dir, patch_size=PATCH, stride=STRIDE,
+        batch_size=BATCH, epochs=EPOCHS, learning_rate=0.001,
+        loss_function="tversky", tversky_alpha=0.1, tversky_beta=0.9,
+        augmentation=False, shuffle_train=False, dtype="float32",
+        compat_reference=True, validation_cities=list(VAL_CITIES),
+        weight_dir=str(root / "weights"), log_dir=str(root / "log"),
+        num_workers=0)
+    init_variables = _torch_variables(os.path.join(out_dir, "init_state.pt"))
+    metadata = ([tuple(m) for m in dumps["train_metadata"]],
+                [tuple(m) for m in dumps["val_metadata"]])
+    assert len(metadata[0]) == 28 and len(metadata[1]) == 8
+
+    from fabric_tpu.train.loop import train
+    state, history = train(ours_cfg, run_scene_inference=False,
+                           init_variables=init_variables, metadata=metadata)
+    return dumps, out_dir, state, history, ours_cfg
+
+
+def test_epoch_metrics_match(parity_run):
+    dumps, _, _, history, _ = parity_run
+    ref_epochs = dumps["epoch_metrics"]
+    assert len(ref_epochs) == EPOCHS
+    for e, ref in enumerate(ref_epochs):
+        assert int(ref["epoch"]) == e
+        for phase, hist_key in (("train", "train"), ("validate", "val")):
+            ours = history[hist_key][e]
+            for metric, atol in (("cd_losses", 3e-4), ("cd_corrects", 0.05),
+                                 ("cd_precisions", 3e-3),
+                                 ("cd_recalls", 3e-3),
+                                 ("cd_f1scores", 3e-3)):
+                r, o = ref[f"{phase}_{metric}"], ours[metric]
+                assert abs(r - o) <= atol, (
+                    f"epoch {e} {phase} {metric}: ref={r} ours={o}")
+
+
+def test_checkpoint_decisions_match(parity_run):
+    dumps, _, _, history, cfg = parity_run
+    ref_saved = sorted({int(n.split("_")[-1].split(".")[0])
+                        for n in dumps["uploads"]
+                        if n.startswith("checkpoint_epoch_")})
+    ours_saved = sorted(
+        int(f.split("_")[-1].split(".")[0])
+        for f in os.listdir(cfg.weight_dir)
+        if f.startswith("checkpoint_epoch_") and f.endswith(".msgpack"))
+    assert ours_saved == ref_saved
+    # epoch 0 always improves over the -1 sentinel on both sides
+    assert 0 in ref_saved
+
+
+def test_final_params_match(parity_run):
+    dumps, out_dir, state, _, _ = parity_run
+    ref_vars = _torch_variables(os.path.join(out_dir, "final_state.pt"))
+    import jax
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_vars["params"])
+    ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    assert len(ref_leaves) == len(ours)
+    for path, ref_leaf in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(ours[path], np.float32), np.asarray(ref_leaf),
+            atol=5e-4, err_msg=f"param {path} diverged after {EPOCHS} epochs")
+
+
+def test_scene_masks_match_including_wh_orientation(parity_run):
+    dumps, out_dir, state, _, cfg = parity_run
+    # reference masks: epochs x validation_cities, row-major
+    assert dumps["mask_count"] == EPOCHS * len(VAL_CITIES)
+    ref_mask = np.load(os.path.join(
+        out_dir, f"mask_{dumps['mask_count'] - 1}.npy"))
+    # non-square scene: a W/H transposition would flip this shape
+    assert ref_mask.shape == SIZES[-1]
+
+    from fabric_tpu.infer.runner import infer_city
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.steps import make_infer_step
+    model = build_model(cfg)
+    mask = infer_city(make_infer_step(model), state, cfg, VAL_CITIES[0])
+    assert mask.shape == ref_mask.shape
+    agree = np.mean(mask == ref_mask.astype(mask.dtype))
+    assert agree > 0.995, f"scene mask agreement {agree}"

@@ -59,6 +59,54 @@ def test_bo_search_beats_random_on_smooth_objective():
     assert bo_best > 0.99, bo_best
 
 
+def test_trial_failure_is_isolated(tmp_path):
+    """One diverging trial must not kill the study (r2 weak #4): it is
+    recorded as failed with the failure score and the search continues."""
+    calls = []
+
+    def _flaky_train(cfg, run_scene_inference=False):
+        calls.append(cfg.learning_rate)
+        if len(calls) == 3:
+            raise FloatingPointError("loss became NaN")
+        return _fake_train(cfg, run_scene_inference)
+
+    log = str(tmp_path / "log.jsonl")
+    best, best_f1, results = run_search({}, trials=8, search="bo", seed=2,
+                                        train_fn=_flaky_train, log_path=log)
+    assert len(results) == 8 and len(calls) == 8
+    failed = [r for r in results if r.get("failed")]
+    assert len(failed) == 1
+    assert failed[0]["trial"] == 2
+    assert "NaN" in failed[0]["error"]
+    assert failed[0]["validate_cd_f1scores"] == 0.0
+    # the failed trial can never be selected as best
+    assert best is not None and best_f1 > 0.0
+    assert sum(1 for _ in open(log)) == 8
+
+
+def test_resume_reproduces_uninterrupted_study(tmp_path):
+    """A study resumed from its own JSONL must continue bit-identically:
+    replayed proposals reconstruct the searcher's RNG and GP state."""
+    full_log = str(tmp_path / "full.jsonl")
+    best_full, f1_full, res_full = run_search(
+        {}, trials=10, search="bo", seed=5, train_fn=_smooth_objective,
+        log_path=full_log)
+
+    # simulate an interruption after 4 trials, then resume
+    part_log = str(tmp_path / "part.jsonl")
+    with open(full_log) as fin, open(part_log, "w") as fout:
+        fout.writelines(fin.readlines()[:4])
+    best_res, f1_res, res_res = run_search(
+        {}, trials=10, search="bo", seed=5, train_fn=_smooth_objective,
+        log_path=part_log, resume=True)
+
+    assert f1_res == f1_full and best_res == best_full
+    for a, b in zip(res_full, res_res):
+        assert a == b
+    # the resumed log now contains all 10 trials
+    assert sum(1 for _ in open(part_log)) == 10
+
+
 def test_bo_stays_in_box():
     from fabric_tpu.tools.tune import GPUCB
     opt = GPUCB(SPACE, seed=3)
