@@ -96,6 +96,16 @@ def main(argv=None) -> int:
                          "v5e: 90.9 vs 77.1 Mpx/s bf16 (+18%) — isolated "
                          "convs time the same as bf16, the win is halved "
                          "HBM bytes on every conv input")
+    ap.add_argument("--model", choices=["bidate", "unet_lstm", "unet3d"],
+                    default="bidate",
+                    help="unet_lstm / unet3d = multi-date serving "
+                         "throughput (BASELINE configs 3/5)")
+    ap.add_argument("--num_dates", type=int, default=2,
+                    help="date-stack depth for the multi-date variants")
+    ap.add_argument("--shard_scene", action="store_true",
+                    help="serve through the H-banded sharded-scene path "
+                         "(infer/sharded_scene.py) over a data mesh of "
+                         "all local devices")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -127,6 +137,8 @@ def main(argv=None) -> int:
         args.batch = 128 if args.workload == "train" else 256
     if args.workload == "train":
         return _bench_train(args)
+    if args.model != "bidate":
+        return _bench_multidate(args)
 
     cfg = Config(dtype=args.dtype, patch_size=args.patch,
                  eval_batch_size=args.batch)
@@ -177,14 +189,59 @@ def main(argv=None) -> int:
     d2 = jax.random.normal(jax.random.PRNGKey(1), shape, dt)
 
     if args.mode == "device":
-        from fabric_tpu.infer.device_tiling import make_scene_infer
-        run = make_scene_infer(model, args.patch, (args.size, args.size),
-                               batch_size=args.batch, overlap=args.overlap,
-                               dtype=dt)
         # NOTE: block_until_ready is unreliable over the axon tunnel; force
         # completion with a tiny D2H reduction instead.
         def sync(mask):
             return np.asarray(jnp.sum(mask.astype(jnp.int32)))
+
+        if args.shard_scene:
+            # H-banded sharded-scene serving (scenes larger than one
+            # chip's HBM); on a single chip this measures the banding
+            # machinery's overhead vs the plain device pipeline.  Bands
+            # are generated host-side band-by-band (the production path
+            # streams from a memmap) — a full fp32 host scene would be
+            # 3.5 GB at 8192².
+            import ml_dtypes
+
+            class _LazyScene:
+                """ndarray-slicing lazy reader of synthetic bf16 bands."""
+
+                def __init__(self, shape, seed):
+                    self.shape = shape
+                    self._seed = seed
+
+                def __getitem__(self, idx):
+                    if not isinstance(idx, tuple):
+                        idx = (idx,)
+                    dims = []
+                    for d, size in enumerate(self.shape):
+                        sl = idx[d] if d < len(idx) else slice(None)
+                        dims.append(len(range(*sl.indices(size))))
+                    out = np.empty(dims, ml_dtypes.bfloat16)
+                    rng = np.random.RandomState(self._seed)
+                    row = int(np.prod(dims[1:])) or 1
+                    step = max(1, (1 << 25) // row)  # ~256 MB f64 chunks
+                    for i in range(0, dims[0], step):
+                        n = min(step, dims[0] - i)
+                        out[i:i + n] = rng.standard_normal(
+                            (n, *dims[1:])).astype(ml_dtypes.bfloat16)
+                    return out
+
+            from fabric_tpu.infer.sharded_scene import (
+                make_sharded_scene_infer, put_scene_sharded)
+            from fabric_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(data=-1)
+            run = make_sharded_scene_infer(
+                model, args.patch, (args.size, args.size), mesh,
+                batch_size=args.batch, dtype=dt)
+            d1 = put_scene_sharded(_LazyScene(shape, 0), mesh)
+            d2 = put_scene_sharded(_LazyScene(shape, 1), mesh)
+        else:
+            from fabric_tpu.infer.device_tiling import make_scene_infer
+            run = make_scene_infer(model, args.patch,
+                                   (args.size, args.size),
+                                   batch_size=args.batch,
+                                   overlap=args.overlap, dtype=dt)
 
         t0 = time.time()
         mask = run(variables, d1, d2)
@@ -220,7 +277,8 @@ def main(argv=None) -> int:
     # the accuracy-bounded serving figure).  Defensive: never let the
     # sidecar break the headline measurement.
     int8_mpx = None
-    if args.mode == "device" and args.quant == "none" and args.fold_bn:
+    if (args.mode == "device" and args.quant == "none" and args.fold_bn
+            and not args.shard_scene):
         try:
             run_q = make_scene_infer(int8_apply(variables["params"]),
                                      args.patch, (args.size, args.size),
@@ -262,6 +320,7 @@ def main(argv=None) -> int:
             "scene": f"{args.size}x{args.size}x13 bi-date",
             "patch": args.patch, "batch": args.batch,
             "overlap": args.overlap, "mode": args.mode,
+            "shard_scene": args.shard_scene,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
             "split_up_concat": args.split_up_concat,
@@ -285,6 +344,77 @@ def main(argv=None) -> int:
                              "(2.4 Mpx/s, see docstring) — the reference "
                              "publishes no measured numbers",
         },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def _bench_multidate(args) -> int:
+    """Multi-date (UNetLSTM / 3D U-Net) whole-scene serving throughput:
+    a (T, SIZE, SIZE, 13) date stack tiled/predicted/stitched on device
+    (BASELINE configs 3/5 — the reference has no serving path for its
+    multi-date variants at all)."""
+    import jax
+    import jax.numpy as jnp
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.device_tiling import make_scene_infer_multidate
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+
+    cfg = Config(dtype=args.dtype, patch_size=args.patch, model=args.model,
+                 num_dates=args.num_dates, eval_batch_size=args.batch)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg)
+    state = create_state(cfg, model, sample_shape=(args.patch, args.patch))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.fold_bn:
+        from fabric_tpu.ops.fold_bn import fold_batchnorm
+        common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                      dtype=dt, fold_bn=True)
+        if args.model == "unet_lstm":
+            from fabric_tpu.models.unet_lstm import UNetLSTM
+            model = UNetLSTM(base=64, **common)
+        else:
+            from fabric_tpu.models.unet3d import UNet3D
+            model = UNet3D(base=32, **common)
+        variables = {"params": fold_batchnorm(state.params,
+                                              state.batch_stats),
+                     "batch_stats": {}}
+
+    scenes = jax.random.normal(
+        jax.random.PRNGKey(0), (args.num_dates, args.size, args.size, 13),
+        dt)
+    run = make_scene_infer_multidate(
+        model, args.patch, (args.size, args.size),
+        num_dates=args.num_dates, batch_size=args.batch,
+        overlap=args.overlap, dtype=dt)
+
+    def sync(mask):
+        return np.asarray(jnp.sum(mask.astype(jnp.int32)))
+
+    t0 = time.time()
+    mask = run(variables, scenes)
+    sync(mask)
+    compile_and_first = time.time() - t0
+    t0 = time.time()
+    for _ in range(args.iters):
+        mask = run(variables, scenes)
+    sync(mask)
+    elapsed = (time.time() - t0) / args.iters
+    mpx = (args.size * args.size) / elapsed / 1e6
+    result = {
+        "metric": f"{args.model}_scene_inference_throughput",
+        "value": round(mpx, 3),
+        "unit": "Mpx/sec/chip",
+        "vs_baseline": None,
+        "detail": {"scene": f"{args.size}x{args.size}x13 x "
+                            f"{args.num_dates} dates",
+                   "model": args.model, "patch": args.patch,
+                   "batch": args.batch, "overlap": args.overlap,
+                   "dtype": args.dtype, "fold_bn": args.fold_bn,
+                   "backend": jax.default_backend(),
+                   "compile_plus_first_s": round(compile_and_first, 3),
+                   "steady_state_s_per_scene": round(elapsed, 4)},
     }
     print(json.dumps(result))
     return 0

@@ -46,7 +46,13 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
     os.replace(tmp, path)
     meta = dict(metadata or {})
     meta.update({"epoch": epoch, "step": int(state.step)})
-    with open(os.path.join(directory, f"metadata_epoch_{epoch}.json"), "w") as fout:
+    # best-metric saves keep the reference-mirroring sidecar name
+    # (metadata_epoch_N.json, train.py:219-220); periodic saves get a
+    # tag-qualified one so a mid-epoch save never clobbers the epoch's
+    # best-metric metadata (or vice versa)
+    sidecar = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+               else f"metadata_{tag}_epoch_{epoch}.json")
+    with open(os.path.join(directory, sidecar), "w") as fout:
         json.dump(meta, fout, indent=2, default=float)
     _write_pointer(directory, "latest", path, epoch, tag)
     if tag == "checkpoint":
@@ -160,13 +166,14 @@ def resume_if_requested(cfg, state):
         path = latest_checkpoint(target)
         if path is None:
             return state, -1, {}
-    epoch = -1
-    m = re.search(r"_epoch_(\d+)\.msgpack$", path)
+    epoch, tag = -1, "checkpoint"
+    m = re.search(r"(?:^|/)([a-z]+)_epoch_(\d+)\.msgpack$", path)
     if m:
-        epoch = int(m.group(1))
+        tag, epoch = m.group(1), int(m.group(2))
     meta = {}
-    sidecar = os.path.join(os.path.dirname(path),
-                           f"metadata_epoch_{epoch}.json")
+    sidecar_name = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+                    else f"metadata_{tag}_epoch_{epoch}.json")
+    sidecar = os.path.join(os.path.dirname(path), sidecar_name)
     if epoch >= 0 and os.path.exists(sidecar):
         try:
             with open(sidecar) as fin:

@@ -88,6 +88,41 @@ def extract(archive: str, dest_dir: str) -> str:
     return dest_dir
 
 
+def dataset_provenance(cfg, resolved_dir: str) -> dict:
+    """Dataset identity for the experiment record (the reference logs the
+    tarball name + comet-computed hash, utils/helpers.py:275-280).
+
+    Returns {dataset_dir, dataset_name, archive_sha256?, fingerprint}:
+    the archive's content hash when the source archive is still present,
+    plus a cheap structural fingerprint (sha256 over the sorted relative
+    paths + sizes of every file under labels/ and images/) that catches
+    dataset drift without re-reading gigabytes of imagery."""
+    import hashlib
+    prov: dict = {"dataset_dir": os.path.abspath(resolved_dir),
+                  "dataset_name": getattr(cfg, "dataset_name", "")}
+    name = prov["dataset_name"]
+    if name and os.path.isfile(name) and name.endswith(_ARCHIVE_EXTS):
+        h = hashlib.sha256()
+        with open(name, "rb") as fin:
+            for chunk in iter(lambda: fin.read(1 << 20), b""):
+                h.update(chunk)
+        prov["archive_sha256"] = h.hexdigest()
+    listing = hashlib.sha256()
+    n_files = 0
+    for sub in ("labels", "images"):
+        root = os.path.join(resolved_dir, sub)
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for fname in sorted(filenames):
+                p = os.path.join(dirpath, fname)
+                rel = os.path.relpath(p, resolved_dir)
+                listing.update(f"{rel}:{os.path.getsize(p)}\n".encode())
+                n_files += 1
+    prov["fingerprint"] = listing.hexdigest()
+    prov["n_files"] = n_files
+    return prov
+
+
 def ensure_dataset(cfg, timeout_s: float = 1800.0) -> str:
     """Make sure cfg.dataset_dir holds a dataset, fetching/extracting
     cfg.dataset_name if necessary.  Returns the directory that actually

@@ -106,7 +106,14 @@ def grain_batch_iterator(dataset: dict, metadata: list, patch_size: int,
                          pad_mode: str = "wrap") -> Iterator[dict]:
     """Grain DataLoader yielding the same batch dicts as batch_iterator:
     fixed shapes, every sample seen once per epoch, short remainder padded
-    ('wrap' at weight 1 for train, 'mask' at weight 0 for eval)."""
+    ('wrap' at weight 1 for train, 'mask' at weight 0 for eval).
+
+    ``num_epochs > 1`` semantics differ from calling batch_iterator once
+    per epoch: Grain's sampler emits one continuous record stream across
+    the requested epochs, so batches may STRADDLE an epoch boundary and
+    the remainder is padded only once, at the very end of the last epoch —
+    not per epoch.  Use one call per epoch (the train loop's pattern) when
+    per-epoch remainder padding must match the numpy pipeline."""
     source = _PatchSource(dataset, metadata, patch_size, multi_date)
     sampler = grain.IndexSampler(
         num_records=len(source),

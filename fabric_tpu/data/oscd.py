@@ -71,6 +71,25 @@ def get_train_val_metadata(data_dir: str, val_cities: list[str],
     return enumerate_for(train_cities), enumerate_for(val_cities)
 
 
+def metadata_from_dataset(dataset: dict, val_cities: list[str],
+                          patch_size: int, stride: int):
+    """:func:`get_train_val_metadata` over an IN-MEMORY dataset dict —
+    grids come from ``dataset[city]['labels'].shape``, so an injected
+    dataset needs no on-disk layout at all (r2 weak #6: the loop used to
+    re-open every label PNG even when the dataset was passed in memory)."""
+    cities = sorted(dataset)
+    train_cities = sorted(set(cities) - set(val_cities))
+
+    def enumerate_for(city_list):
+        out = []
+        for city in city_list:
+            shape = dataset[city]["labels"].shape
+            out.extend((city, i, j)
+                       for i, j in patch_grid(shape, patch_size, stride))
+        return out
+    return enumerate_for(train_cities), enumerate_for(val_cities)
+
+
 def load_label(data_dir: str, city: str) -> np.ndarray:
     """(H, W) uint8 change mask in {0, 1} (dataloaders.py:81-83)."""
     path = os.path.join(data_dir, "labels", city, "cm", "cm.png")

@@ -78,7 +78,8 @@ class PatchSampler:
 def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
                    pad_mode: str = "wrap", seed: int = 0,
                    max_batches: int = 0, process_index: int = 0,
-                   process_count: int = 1) -> Iterator[dict]:
+                   process_count: int = 1,
+                   skip_batches: int = 0) -> Iterator[dict]:
     """Yield {'img1','img2','label','weight'} numpy batches of fixed shape.
 
     ``batch_size`` is the GLOBAL batch size.  pad_mode 'wrap': short
@@ -91,6 +92,12 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     slice of each global batch (host work divides across processes);
     :func:`prefetch_to_device` reassembles the logical global array from the
     local shards via ``jax.make_array_from_process_local_data``.
+
+    ``skip_batches`` fast-forwards past the first N batches without
+    materializing them (mid-epoch resume): the shuffle order and the
+    per-global-row augmentation RNG keys are both pure functions of
+    ``seed``, so batch b is bit-identical whether or not 0..b-1 were
+    produced.
     """
     n = len(sampler)
     if n == 0:
@@ -116,7 +123,7 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     # shared sequential stream: every global batch is bit-identical no
     # matter how many processes materialize it (the multi-process parity
     # test relies on this).
-    for b in range(num_batches):
+    for b in range(skip_batches, num_batches):
         lo = b * batch_size + process_index * local
         idx = order[lo:lo + local]
         label = np.empty((local, ps, ps), np.int32)

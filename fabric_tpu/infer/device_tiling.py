@@ -39,6 +39,13 @@ def _is_aligned(positions: np.ndarray, size: int, patch: int) -> bool:
         positions, np.arange(0, size, patch))
 
 
+def _is_grid_with_edge(positions: np.ndarray, patch: int) -> bool:
+    """True when positions are the regular patch grid except (at most) an
+    edge-anchored final stop — i.e. grid mode (stride == patch) on any
+    scene.  Overlap mode (stride < patch) never satisfies this."""
+    return all(int(p) == i * patch for i, p in enumerate(positions[:-1]))
+
+
 def _gather_tiles(scene: jax.Array, ys: np.ndarray, xs: np.ndarray,
                   patch: int) -> jax.Array:
     """(K, patch, patch, C) tiles from (H, W, C), K = len(ys)*len(xs)."""
@@ -47,6 +54,34 @@ def _gather_tiles(scene: jax.Array, ys: np.ndarray, xs: np.ndarray,
         # evenly-divisible scene: tiling is a zero-gather reshape/transpose
         t = scene.reshape(len(ys), patch, len(xs), patch, c)
         return t.transpose(0, 2, 1, 3, 4).reshape(-1, patch, patch, c)
+
+    if _is_grid_with_edge(ys, patch) and _is_grid_with_edge(xs, patch):
+        # grid mode on a non-divisible scene: the general gather below
+        # materializes whole extra copies of the scene (rows then columns
+        # — ~GBs of HBM traffic at 8192²x13); but with only an edge stop
+        # per axis the row-major tile stack is FOUR static slices, each a
+        # pure reshape/transpose, concatenated in grid order
+        ny, nx = len(ys), len(xs)
+        y_edge = int(ys[-1]) != (ny - 1) * patch
+        x_edge = int(xs[-1]) != (nx - 1) * patch
+        ny_reg, nx_reg = ny - y_edge, nx - x_edge
+        y0, x0 = int(ys[-1]), int(xs[-1])
+
+        def block(sub, a, b):  # (a*p, b*p, C) -> (a, b, p, p, C)
+            return sub.reshape(a, patch, b, patch, c).transpose(0, 2, 1, 3, 4)
+
+        top = block(scene[:ny_reg * patch, :nx_reg * patch], ny_reg, nx_reg)
+        if x_edge:
+            right = block(scene[:ny_reg * patch, x0:x0 + patch], ny_reg, 1)
+            top = jnp.concatenate([top, right], axis=1)
+        if y_edge:
+            bot = block(scene[y0:y0 + patch, :nx_reg * patch], 1, nx_reg)
+            if x_edge:
+                corner = block(scene[y0:y0 + patch, x0:x0 + patch], 1, 1)
+                bot = jnp.concatenate([bot, corner], axis=1)
+            top = jnp.concatenate([top, bot], axis=0)
+        return top.reshape(-1, patch, patch, c)
+
     row_idx = ys[:, None] + np.arange(patch)[None, :]      # (ny, p)
     col_idx = xs[:, None] + np.arange(patch)[None, :]      # (nx, p)
     rows = scene[row_idx.reshape(-1)]                      # (ny*p, W, C)

@@ -57,12 +57,22 @@ class ScenePredictor:
         ``data`` axis (infer/sharded_scene.py) — per-device memory scales
         as 1/N, for scenes larger than one chip's HBM.  Grid mode only;
         buckets are auto-aligned to ``n_data * patch_size``.
+      recalibrate_every: int8 mode: re-derive the activation scales from
+        every Nth predicted scene (0 = calibrate once, on the first).
+      clip_warn_ratio: int8 mode: before each scene, probe its
+        activation ranges against the calibrated scales
+        (infer/quant.clip_report on the corner/center crops) and warn
+        when any site's absmax exceeds this multiple of its covered
+        range — the guardrail against silent clipping on scenes hotter
+        than the calibration scene.  The per-scene report is kept in
+        ``self.last_clip_report``.  0 disables probing.
     """
 
     def __init__(self, cfg, checkpoint: str | None = None, bucket: int = 512,
                  fold_bn: bool = True, mesh=None, quant: str | None = None,
                  split_up_concat: bool = True, bundle: str | None = None,
-                 shard_scene: bool = False):
+                 shard_scene: bool = False, recalibrate_every: int = 0,
+                 clip_warn_ratio: float = 1.0):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -73,6 +83,11 @@ class ScenePredictor:
         self.shard_scene = shard_scene
         self.multi_date = cfg.model in ("unet_lstm", "unet3d")
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.recalibrate_every = recalibrate_every
+        self.clip_warn_ratio = clip_warn_ratio
+        self._scales: dict | None = None
+        self._scenes_predicted = 0
+        self.last_clip_report: dict | None = None
         if shard_scene and self.multi_date:
             raise ValueError("shard_scene currently supports the bidate "
                              "model only")
@@ -113,6 +128,7 @@ class ScenePredictor:
             if self.quant == "int8" and scales:
                 from fabric_tpu.infer import quant as q
                 self.model = q.make_int8_apply(folded, scales, self.dtype)
+                self._scales = dict(scales)
             self._compiled = {}
             log.info("loaded serving bundle %s (quant=%s)", bundle,
                      self.quant)
@@ -178,7 +194,25 @@ class ScenePredictor:
         scales = q.calibrate(self.variables["params"], batches, self.dtype)
         self.model = q.make_int8_apply(self.variables["params"], scales,
                                        self.dtype)
+        self._scales = dict(scales)
         self._compiled.clear()
+
+    def _calibration_crops(self, d1, d2) -> tuple[np.ndarray, np.ndarray]:
+        """Corner/center patch crops of a scene pair, edge-padded up to a
+        full patch if the scene is smaller (used for int8 calibration and
+        the per-scene clip probe)."""
+        p = self.cfg.patch_size
+        h0, w0 = d1.shape[:2]
+        pads = [(0, max(p - h0, 0)), (0, max(p - w0, 0)), (0, 0)]
+        e1, e2 = (np.pad(x, pads, mode="edge") for x in (d1, d2))
+        crops1, crops2 = [], []
+        for (y, x) in {(0, 0),
+                       (max(h0 - p, 0), max(w0 - p, 0)),
+                       (max((h0 - p) // 2, 0), max((w0 - p) // 2, 0))}:
+            crops1.append(e1[y:y + p, x:x + p])
+            crops2.append(e2[y:y + p, x:x + p])
+        return (np.stack(crops1).astype(np.float32),
+                np.stack(crops2).astype(np.float32))
 
     def _bucket_dims(self, h: int, w: int) -> tuple[int, int]:
         """Padded (H, W) for this scene under the bucket policy."""
@@ -221,22 +255,41 @@ class ScenePredictor:
         if self.multi_date:
             raise ValueError("this predictor serves a multi-date model; "
                              "use predict_multidate((T, H, W, C))")
-        if self.quant == "int8" and hasattr(self.model, "apply"):
-            # not yet calibrated: self-calibrate on patches of this pair;
-            # any dimension short of a patch is edge-padded (never negative)
-            p = self.cfg.patch_size
-            h0, w0 = d1.shape[:2]
-            pads = [(0, max(p - h0, 0)), (0, max(p - w0, 0)), (0, 0)]
-            e1, e2 = (np.pad(x, pads, mode="edge") for x in (d1, d2))
-            crops1, crops2 = [], []
-            for (y, x) in {(0, 0),
-                           (max(h0 - p, 0), max(w0 - p, 0)),
-                           (max((h0 - p) // 2, 0), max((w0 - p) // 2, 0))}:
-                crops1.append(e1[y:y + p, x:x + p])
-                crops2.append(e2[y:y + p, x:x + p])
-            self.calibrate([(np.stack(crops1).astype(np.float32),
-                             np.stack(crops2).astype(np.float32))])
-            log.info("int8 self-calibration done (%d crops)", len(crops1))
+        if self.quant == "int8":
+            crops = self._calibration_crops(d1, d2)
+            due = (self._scales is None
+                   or (self.recalibrate_every > 0
+                       and self._scenes_predicted % self.recalibrate_every
+                       == 0))
+            if due:
+                # (re-)calibrate on corner/center patches of THIS pair;
+                # cadence via recalibrate_every (0 = first scene only)
+                self.calibrate([crops])
+                log.info("int8 calibration on scene %d (%d crops)",
+                         self._scenes_predicted, crops[0].shape[0])
+            elif self.clip_warn_ratio:
+                # guardrail: static scales from an earlier scene — probe
+                # whether THIS scene's activation ranges overflow them
+                # (probe forward compiled once, reused every scene)
+                from fabric_tpu.infer import quant as q
+                if getattr(self, "_stats_fwd", None) is None:
+                    self._stats_fwd = q.make_stats_forward(
+                        self.variables["params"], self.dtype)
+                report = q.clip_report(self.variables["params"],
+                                       self._scales, [crops], self.dtype,
+                                       stats_forward=self._stats_fwd)
+                self.last_clip_report = report
+                site = max(report, key=report.get)
+                if report[site] > self.clip_warn_ratio:
+                    log.warning(
+                        "int8 activation clipping on scene %d: site %s "
+                        "absmax is %.2fx the calibrated range (worst of "
+                        "%d sites); predictions may degrade there — "
+                        "recalibrate (ScenePredictor.calibrate / "
+                        "recalibrate_every) or raise calibration "
+                        "headroom", self._scenes_predicted, site,
+                        report[site], len(report))
+        self._scenes_predicted += 1
         h, w = d1.shape[:2]
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):

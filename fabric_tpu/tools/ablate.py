@@ -27,9 +27,14 @@ import time
 import numpy as np
 
 
-def build_functional(params, dtype=None):
+def build_functional(params, dtype=None, pool_impl: str = "reduce_window"):
     """Functional folded eval forward mirroring BiDateNet's graph, cut
-    into stages.  ``params`` is a fold_batchnorm() tree."""
+    into stages.  ``params`` is a fold_batchnorm() tree.
+
+    ``pool_impl='reshape'`` swaps max-pool for the bit-equivalent
+    reshape-max (even dims only) — the generic reduce_window primitive
+    has no transpose rule, so grad-mode callers (tools/ablate_train.py)
+    need this; forward timing keeps reduce_window (the production op)."""
     import jax
     import jax.numpy as jnp
     from fabric_tpu.ops.resize import upsample2x_align_corners
@@ -47,6 +52,9 @@ def build_functional(params, dtype=None):
         return jnp.maximum(conv(x, p["conv2"]), 0)
 
     def pool(x):
+        if pool_impl == "reshape":
+            n, h, w, c = x.shape
+            return x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
         return jax.lax.reduce_window(
             x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")

@@ -1,0 +1,271 @@
+"""Train-step attribution on the real chip (r2 VERDICT #3).
+
+The eval forward has a per-stage breakdown (tools/ablate.py →
+BASELINE.md); this is the train-side counterpart.  Two modes:
+
+**Variant timing** (``--variant``): time one train-step variant per
+process, so deltas between processes attribute the step:
+
+  full       the production train step (fwd + bwd + SGD + metrics)
+  grad       value_and_grad only, no optimizer apply / no metrics
+  fwd        the train-mode forward + loss only (BN batch stats updated)
+  eval_fwd   the eval-mode forward + loss (running-stat BN, no mutation)
+  full_remat full with cfg.remat=True (nn.remat on every U-Net block)
+  no_donate  full without buffer donation
+
+  full-grad      = optimizer + metrics cost
+  grad-fwd       = backward cost
+  fwd-eval_fwd   = train-mode BN overhead (fp32 stat reductions)
+
+**Per-stage grad timing** (``--stage K --grad``): like tools/ablate.py's
+prefix timing but of ``jax.value_and_grad`` of the folded functional
+forward prefix — consecutive deltas give per-stage fwd+bwd cost.  (Folded
+proxy: no BN-stat update in the backward, so stage deltas attribute the
+conv/resize work, which is where the FLOPs are.)
+
+Usage (ONE config per process on the TPU, CLAUDE.md discipline):
+  python -m fabric_tpu.tools.ablate_train --variant full
+  python -m fabric_tpu.tools.ablate_train --stage 11 --grad
+
+Reference workload being attributed: /root/reference/train.py:76-118
+(batch of patches -> forward -> tversky -> SGD).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _data(batch: int, patch: int):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    return {
+        "img1": jnp.asarray(rng.randn(batch, patch, patch, 13), jnp.float32),
+        "img2": jnp.asarray(rng.randn(batch, patch, patch, 13), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 2, (batch, patch, patch)),
+                             jnp.int32),
+        "weight": jnp.ones(batch, jnp.float32),
+    }
+
+
+def _sync(tree):
+    import jax
+    import jax.numpy as jnp
+    return np.asarray(jnp.sum(
+        jax.tree_util.tree_leaves(tree)[0].astype(jnp.float32)))
+
+
+def build_variant(variant: str, cfg):
+    """-> (carry, fn) with ``(carry, sync_leaf) = fn(carry, batch)``;
+    ``sync_leaf`` is an output of that step's device computation, so
+    syncing it after the loop waits for the real work (jit outputs are
+    never dead-code-eliminated; an unchanged passthrough input would be)."""
+    import jax
+    from fabric_tpu.losses import get_loss_fn
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+    from fabric_tpu.train.steps import make_train_step
+
+    model = build_model(cfg)
+    loss_fn = get_loss_fn(cfg)
+    state = create_state(cfg, model)
+
+    if variant in ("full", "full_remat", "no_donate"):
+        step = make_train_step(model, loss_fn,
+                               donate=variant != "no_donate")
+
+        def fn(carry, batch):
+            new, stats = step(carry, batch)
+            return new, stats["loss"]
+        return state, fn
+
+    if variant == "grad":
+        def loss_of(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            logits, updates = model.apply(
+                variables, batch["img1"], batch["img2"], train=True,
+                mutable=["batch_stats"])
+            return loss_fn(logits, batch["label"],
+                           weights=batch["weight"]), updates
+
+        vg = jax.jit(jax.value_and_grad(loss_of, has_aux=True))
+
+        def fn(carry, batch):
+            (_, updates), grads = vg(carry.params, carry.batch_stats, batch)
+            # no optimizer transform runs; the grads leaf is the sync point
+            return (carry.replace(batch_stats=updates["batch_stats"]),
+                    jax.tree_util.tree_leaves(grads)[0])
+        return state, fn
+
+    if variant in ("fwd", "eval_fwd"):
+        train = variant == "fwd"
+
+        @jax.jit
+        def fwd(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                logits, updates = model.apply(
+                    variables, batch["img1"], batch["img2"], train=True,
+                    mutable=["batch_stats"])
+                stats = updates["batch_stats"]
+            else:
+                logits = model.apply(variables, batch["img1"],
+                                     batch["img2"], train=False)
+                stats = batch_stats
+            return loss_fn(logits, batch["label"],
+                           weights=batch["weight"]), stats
+
+        def fn(carry, batch):
+            loss, stats = fwd(carry.params, carry.batch_stats, batch)
+            return carry.replace(batch_stats=stats), loss
+        return state, fn
+
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+def time_variant(variant: str, batch: int, patch: int, iters: int,
+                 dtype: str) -> dict:
+    from fabric_tpu.config import Config
+    cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch,
+                 remat=variant == "full_remat")
+    carry, fn = build_variant(variant, cfg)
+    batch_data = _data(batch, patch)
+    t0 = time.time()
+    carry, leaf = fn(carry, batch_data)
+    _sync(leaf)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        carry, leaf = fn(carry, batch_data)
+    _sync(leaf)
+    step_s = (time.time() - t0) / iters
+    return {"variant": variant, "patch": patch, "batch": batch,
+            "iters": iters, "step_ms": round(step_s * 1000, 2),
+            "examples_per_sec": round(batch / step_s, 1),
+            "compile_s": round(compile_s, 1), "dtype": dtype}
+
+
+def time_stage_grad(stage: int, batch: int, patch: int, iters: int,
+                    dtype_name: str) -> dict:
+    """Time value_and_grad of a folded forward PREFIX (stage semantics and
+    DCE-defeating sums as in tools/ablate.py)."""
+    import jax
+    import jax.numpy as jnp
+    from fabric_tpu.config import Config
+    from fabric_tpu.models import build_model
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    from fabric_tpu.tools.ablate import build_functional
+    from fabric_tpu.train.state import create_state
+
+    cfg = Config(dtype=dtype_name, patch_size=patch, batch_size=batch)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    params = fold_batchnorm(state.params, state.batch_stats)
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    # stage 11 appends the integer argmax map (not differentiable, and its
+    # backward cost is ~0); grad attribution tops out at stage 10 (+up4)
+    stage = min(stage, 10)
+    d = _data(batch, patch)
+
+    def objective(p):
+        stages = build_functional(p, dtype, pool_impl="reshape")
+        return stages(d["img1"], d["img2"], stage).astype(jnp.float32).sum()
+
+    vg = jax.jit(jax.value_and_grad(objective))
+    t0 = time.time()
+    _, g = vg(params)
+    _sync(g)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        _, g = vg(params)
+    _sync(g)
+    step_s = (time.time() - t0) / iters
+    return {"stage": stage, "patch": patch, "batch": batch, "iters": iters,
+            "grad_step_ms": round(step_s * 1000, 2),
+            "compile_s": round(compile_s, 1), "dtype": dtype_name}
+
+
+def microbench_group_conv(batch: int, patch: int, iters: int,
+                          dtype_name: str) -> dict:
+    """Lane-packing probe: the Siamese encoder runs 64-channel convs on a
+    2N batch, leaving half the MXU's 128 lanes idle (BASELINE.md stage
+    table).  The same math can run as ONE feature_group_count=2 conv on an
+    N batch with 128 channels — if XLA lowers grouped convs as a single
+    lane-packed MXU pass this wins ~2x on those layers; if it splits per
+    group it's a wash.  This times both forms so the decision is measured,
+    not guessed."""
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    rng = np.random.RandomState(0)
+    n, c = batch, 64
+    x2n = jnp.asarray(rng.randn(2 * n, patch, patch, c), dt)
+    xg = jnp.asarray(np.concatenate(
+        [np.asarray(x2n[:n]), np.asarray(x2n[n:])], axis=-1), dt)
+    k = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, dt)
+    kg = jnp.concatenate([k, k], axis=-1)  # (3,3,64,128), groups=2
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    @jax.jit
+    def batched(x, k):
+        return jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                            dimension_numbers=dn)
+
+    @jax.jit
+    def grouped(x, k):
+        return jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                            dimension_numbers=dn,
+                                            feature_group_count=2)
+
+    def timeit(fn, x, k):
+        y = fn(x, k)
+        _sync(y)
+        t0 = time.time()
+        for _ in range(iters):
+            y = fn(x, k)
+        _sync(y)
+        return (time.time() - t0) / iters * 1000
+
+    return {"microbench": "group_conv", "batch": batch, "patch": patch,
+            "iters": iters, "dtype": dtype_name,
+            "batched_2n_c64_ms": round(timeit(batched, x2n, k), 3),
+            "grouped_n_c128_ms": round(timeit(grouped, xg, kg), 3)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default=None,
+                    choices=["full", "grad", "fwd", "eval_fwd",
+                             "full_remat", "no_donate"])
+    ap.add_argument("--stage", type=int, default=None)
+    ap.add_argument("--grad", action="store_true")
+    ap.add_argument("--microbench", choices=["group_conv"], default=None)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--patch", type=int, default=96)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args(argv)
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    if args.microbench == "group_conv":
+        print(json.dumps(microbench_group_conv(
+            args.batch, args.patch, args.iters, args.dtype)))
+    elif args.variant:
+        print(json.dumps(time_variant(args.variant, args.batch, args.patch,
+                                      args.iters, args.dtype)))
+    elif args.stage is not None:
+        print(json.dumps(time_stage_grad(args.stage, args.batch, args.patch,
+                                         args.iters, args.dtype)))
+    else:
+        ap.error("need --variant or --stage")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

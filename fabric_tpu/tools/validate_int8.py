@@ -58,6 +58,11 @@ def validate(cfg, cities=None, max_f1_drop: float = 0.01,
         m_q = q.predict_city(city)
         agree = float((m_ref == m_q).mean())
         rep = {"city": city, "mask_agreement": round(agree, 5)}
+        if q.last_clip_report:
+            # per-city activation-range overflow vs the calibration scene
+            # (ScenePredictor's clip probe; >1 means silent clipping)
+            rep["clip_overflow_ratio"] = round(
+                max(q.last_clip_report.values()), 4)
         fail = agree < min_agreement
         label = load_label(cfg.dataset_dir, city)
         if label.shape == m_ref.shape:

@@ -19,8 +19,8 @@ import numpy as np
 
 from fabric_tpu import checkpoint as ckpt
 from fabric_tpu.data import (
-    get_train_val_metadata, full_load, PatchSampler, batch_iterator,
-    prefetch_to_device,
+    get_train_val_metadata, metadata_from_dataset, full_load, PatchSampler,
+    batch_iterator, prefetch_to_device,
 )
 from fabric_tpu.infer.runner import infer_city
 from fabric_tpu.losses import get_loss_fn
@@ -49,7 +49,7 @@ class _ProfileCapture:
         jax.profiler.start_trace(logdir)
         log.info("profiler trace started -> %s (%d steps)", logdir, nsteps)
 
-    def on_step(self, state) -> None:
+    def on_step(self, state, stats=None) -> None:
         if not self._active:
             return
         self._left -= 1
@@ -111,7 +111,7 @@ def _epoch(step_fn, state, batches, accumulator, train: bool,
         else:
             rows.append({k: stats[k] for k in _STAT_KEYS})
         if on_step is not None:
-            on_step(state)
+            on_step(state, stats)
     if rows:
         stacked = _stack_rows(rows)
         for j in range(len(rows)):
@@ -238,7 +238,15 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         from fabric_tpu.track import NullTracker
         tracker = (Tracker(cfg.log_dir, project=cfg.project_name)
                    if primary else NullTracker())
-    tracker.log_params(cfg.to_dict())
+    run_params = cfg.to_dict()
+    if dataset is None:
+        # dataset identity next to the config (reference helpers.py:275-280
+        # logged the tarball + hash to comet); in-memory datasets have no
+        # on-disk identity to record
+        from fabric_tpu.data.download import dataset_provenance
+        run_params["dataset_provenance"] = dataset_provenance(
+            cfg, cfg.dataset_dir)
+    tracker.log_params(run_params)
     import jax
     pidx, pcount = jax.process_index(), jax.process_count()
 
@@ -261,6 +269,10 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         cfg.dataset_dir, cfg, max_workers=cfg.num_workers or None)
     if metadata is not None:
         train_md, val_md = metadata
+    elif dataset is not None:
+        # in-memory dataset: grids come from the label arrays themselves
+        train_md, val_md = metadata_from_dataset(
+            dataset, cfg.validation_cities, cfg.patch_size, cfg.stride)
     else:
         train_md, val_md = get_train_val_metadata(
             cfg.dataset_dir, cfg.validation_cities, cfg.patch_size,
@@ -280,13 +292,29 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     prob_step = make_infer_probs_step(model)
 
     best = {"cd_f1scores": -1.0, "cd_recalls": -1.0, "cd_precisions": -1.0}
-    # seed best from the resumed checkpoint's saved validation metrics so a
-    # post-resume regression is not re-checkpointed as a "new best"
-    for k, v in (resumed_meta.get("validation_metrics") or {}).items():
-        if k in best:
-            best[k] = float(v)
+    # seed best from the resumed checkpoint's saved validation metrics (best
+    # saves) or carried best dict (periodic saves) so a post-resume
+    # regression is not re-checkpointed as a "new best"
+    for source in ("validation_metrics", "best_metrics"):
+        for k, v in (resumed_meta.get(source) or {}).items():
+            if k in best:
+                best[k] = float(v)
     history = {"train": [], "val": []}
     start_epoch = resumed_epoch + 1
+    # Mid-epoch resume (SURVEY.md §5 failure recovery, r2 VERDICT #5): a
+    # periodic checkpoint carries how far into its epoch it was saved plus
+    # the epoch's per-batch stat rows so far; restart INSIDE that epoch,
+    # fast-forward the deterministic batch stream, and replay the stats —
+    # the resumed trajectory and the epoch's reported metrics both equal
+    # the uninterrupted run's.
+    resume_skip, resume_rows = 0, []
+    if resumed_meta.get("periodic") and resumed_meta.get("batches_done"):
+        start_epoch = resumed_epoch
+        resume_skip = int(resumed_meta["batches_done"])
+        resume_rows = [[float(v) for v in row]
+                       for row in resumed_meta.get("train_rows") or []]
+        log.info("mid-epoch resume: completing epoch %d from batch %d",
+                 start_epoch, resume_skip)
 
     profiler = None
     if cfg.profile_dir and primary:
@@ -295,6 +323,12 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         train_acc, val_acc = MetricAccumulator(), MetricAccumulator()
+        skip, replay_rows = (resume_skip, resume_rows) if resume_skip else \
+            (0, [])
+        resume_skip, resume_rows = 0, []  # only the first resumed epoch
+        for row in replay_rows:
+            train_acc.update(row[0], dict(zip(("tp", "fp", "fn", "tn"),
+                                              row[1:])))
 
         sampler = PatchSampler(data, train_md, cfg.patch_size,
                                augment=cfg.augmentation,
@@ -305,26 +339,40 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                            shuffle=cfg.shuffle_train,
                            pad_mode="wrap", seed=cfg.seed + epoch,
                            max_batches=cfg.steps_per_epoch,
-                           process_index=pidx, process_count=pcount),
+                           process_index=pidx, process_count=pcount,
+                           skip_batches=skip),
             size=cfg.prefetch, sharding=shardings)
 
         callbacks = []
         if cfg.checkpoint_every > 0 and primary:
             # periodic step-based checkpointing (fault tolerance: resume
             # loses at most checkpoint_every steps; the reference could
-            # only restart from scratch — SURVEY.md §5)
-            def _periodic(s, _epoch=epoch):
+            # only restart from scratch — SURVEY.md §5).  The sidecar
+            # carries epoch progress + the epoch's stat rows so far + the
+            # best dict, for exact mid-epoch resume.
+            epoch_rows = list(replay_rows)
+
+            def _periodic(s, stats, _epoch=epoch, _rows=epoch_rows):
+                # stats scalars stay on device until a save syncs them
+                _rows.append(stats)
                 if int(s.step) % cfg.checkpoint_every == 0:
+                    host_rows = [r if isinstance(r, list) else
+                                 [float(r[k]) for k in _STAT_KEYS]
+                                 for r in _rows]
+                    _rows[:] = host_rows
                     ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
-                              metadata={"periodic": True})
+                              metadata={"periodic": True,
+                                        "batches_done": len(_rows),
+                                        "train_rows": host_rows,
+                                        "best_metrics": dict(best)})
             callbacks.append(_periodic)
         if profiler is not None:
             callbacks.append(profiler.on_step)
         on_step = None
         if callbacks:
-            def on_step(s, _cbs=tuple(callbacks)):
+            def on_step(s, stats, _cbs=tuple(callbacks)):
                 for cb in _cbs:
-                    cb(s)
+                    cb(s, stats)
 
         from fabric_tpu.utils.profiling import StepTimer
         timer = StepTimer()

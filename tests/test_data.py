@@ -119,3 +119,15 @@ def test_prefetch_propagates_errors():
         raise RuntimeError("boom")
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad(), size=2))
+
+
+def test_metadata_from_dataset_matches_disk(dataset_dir):
+    """An injected in-memory dataset must yield the same patch metadata as
+    the on-disk reader (r2 weak #6: the loop used to re-open every label
+    PNG even with dataset= passed)."""
+    from fabric_tpu.data import metadata_from_dataset
+    cfg = Config(patch_size=32, stride=32)
+    data = full_load(dataset_dir, cfg)
+    disk = get_train_val_metadata(dataset_dir, ["gamma"], 32, 32)
+    mem = metadata_from_dataset(data, ["gamma"], 32, 32)
+    assert mem == disk

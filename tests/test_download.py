@@ -58,3 +58,24 @@ def test_fetch_missing_raises(tmp_path):
 def test_fetch_file_uri(tmp_path):
     archive = _make_archive(tmp_path)
     assert fetch("file://" + archive, str(tmp_path)) == archive
+
+
+def test_dataset_provenance(tmp_path):
+    """Provenance records the archive hash + a structural fingerprint that
+    changes when the dataset changes (reference helpers.py:275-280 logged
+    the tarball + hash to comet)."""
+    from fabric_tpu.data.download import dataset_provenance
+    archive = _make_archive(tmp_path)
+    ddir = str(tmp_path / "data")
+    cfg = Config(dataset_dir=ddir, dataset_name=archive)
+    resolved = ensure_dataset(cfg)
+    prov = dataset_provenance(cfg, resolved)
+    assert prov["dataset_name"] == archive
+    assert len(prov["archive_sha256"]) == 64
+    assert len(prov["fingerprint"]) == 64 and prov["n_files"] > 0
+    # drift detection: touching one label changes the fingerprint
+    lab = os.path.join(resolved, "labels", "alpha", "cm", "cm.png")
+    with open(lab, "ab") as f:
+        f.write(b"\0")
+    assert dataset_provenance(cfg, resolved)["fingerprint"] != \
+        prov["fingerprint"]

@@ -85,3 +85,64 @@ def test_int8_requires_fold_bn():
     cfg = Config(patch_size=16, dtype="float32", model_base=8)
     with pytest.raises(ValueError):
         ScenePredictor(cfg, fold_bn=False, quant="int8")
+
+
+def test_int8_clip_guardrail_and_recalibration(caplog):
+    """r2 VERDICT #8: static scales frozen on the first scene must not clip
+    silently — the per-scene probe reports overflow and warns; an explicit
+    recalibration cadence re-derives the scales."""
+    import logging
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=32, quant="int8")
+    rng = np.random.RandomState(3)
+    d1 = rng.randn(32, 32, 13).astype(np.float32)
+    d2 = rng.randn(32, 32, 13).astype(np.float32)
+    pred.predict(d1, d2)  # calibrates on this scene
+    scales_first = dict(pred._scales)
+
+    # same-range scene: probe runs, nothing overflows, no warning
+    with caplog.at_level(logging.WARNING, logger="fabric_tpu"):
+        pred.predict(d1 * 0.5, d2 * 0.5)
+    assert pred.last_clip_report is not None
+    assert max(pred.last_clip_report.values()) <= 1.0 + 1e-3
+    assert not any("clipping" in r.message for r in caplog.records)
+
+    # much hotter scene: overflow reported AND warned
+    with caplog.at_level(logging.WARNING, logger="fabric_tpu"):
+        pred.predict(d1 * 8.0, d2 * 8.0)
+    assert max(pred.last_clip_report.values()) > 1.5
+    assert any("clipping" in r.message for r in caplog.records)
+    assert pred._scales == scales_first  # probe never mutates the scales
+
+    # recalibrate_every=1: every scene re-derives the scales instead
+    pred2 = ScenePredictor(cfg, checkpoint=None, bucket=32, quant="int8",
+                           recalibrate_every=1)
+    pred2.predict(d1, d2)
+    s1 = dict(pred2._scales)
+    pred2.predict(d1 * 8.0, d2 * 8.0)
+    s2 = dict(pred2._scales)
+    assert any(s2[k] > s1[k] * 2 for k in s1)  # scales follow the data
+
+
+def test_clip_report_function(caplog):
+    """infer.quant.clip_report: ratios ~<=1 on the calibration data, and
+    proportionally >1 on hotter data."""
+    import jax.numpy as jnp
+    from fabric_tpu.infer import quant as q
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+    cfg = Config(patch_size=16, dtype="float32", model_base=8)
+    model = build_model(cfg)
+    state = create_state(cfg, model, sample_shape=(16, 16))
+    folded = fold_batchnorm(state.params, state.batch_stats)
+    rng = np.random.RandomState(4)
+    d1 = rng.randn(4, 16, 16, 13).astype(np.float32)
+    d2 = rng.randn(4, 16, 16, 13).astype(np.float32)
+    scales = q.calibrate(folded, [(d1, d2)], dtype=jnp.float32)
+    rep_same = q.clip_report(folded, scales, [(d1, d2)], dtype=jnp.float32)
+    assert rep_same and all(v <= 1.0 + 1e-5 for v in rep_same.values())
+    rep_hot = q.clip_report(folded, scales, [(d1 * 4, d2 * 4)],
+                            dtype=jnp.float32)
+    assert max(rep_hot.values()) > 1.5
