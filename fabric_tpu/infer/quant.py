@@ -262,7 +262,7 @@ def _make_forward(folded_params, qweights: Optional[dict],
 
 
 def calibrate(folded_params, batches, dtype=jnp.bfloat16,
-              headroom: float = 1.0) -> dict:
+              headroom: float = 1.0, stats_forward=None) -> dict:
     """Run the exact bf16 forward over ``batches`` (iterable of (d1, d2)
     NHWC arrays) and return {site: float} per-tensor activation scales
     (absmax/127 over all batches).
@@ -270,8 +270,10 @@ def calibrate(folded_params, batches, dtype=jnp.bfloat16,
     ``headroom`` scales every range, e.g. 0.9 deliberately clips the top
     10% of the observed range in exchange for finer quantization of the
     bulk — useful when calibration scenes contain sensor outliers
-    (saturated Sentinel-2 pixels).  1.0 (default) = exact absmax cover."""
-    fwd = jax.jit(_make_forward(folded_params, None, None, dtype))
+    (saturated Sentinel-2 pixels).  1.0 (default) = exact absmax cover.
+    ``stats_forward``: cached :func:`make_stats_forward` result, for
+    recalibration loops that must not re-jit per call."""
+    fwd = stats_forward or make_stats_forward(folded_params, dtype)
     maxes: dict = {}
     for d1, d2 in batches:
         _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))

@@ -59,6 +59,9 @@ class ScenePredictor:
         buckets are auto-aligned to ``n_data * patch_size``.
       recalibrate_every: int8 mode: re-derive the activation scales from
         every Nth predicted scene (0 = calibrate once, on the first).
+        Each recalibration bakes new scales into the quantized forward
+        (compile-time constants) and so re-jits the scene runner — prefer
+        sparse cadences, or rely on the clip probe to tell you when.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -191,7 +194,11 @@ class ScenePredictor:
         (e.g. patches cropped from held-out scenes) and swap the serving
         forward to the quantized path.  Clears compiled runners."""
         from fabric_tpu.infer import quant as q
-        scales = q.calibrate(self.variables["params"], batches, self.dtype)
+        if getattr(self, "_stats_fwd", None) is None:
+            self._stats_fwd = q.make_stats_forward(
+                self.variables["params"], self.dtype)
+        scales = q.calibrate(self.variables["params"], batches, self.dtype,
+                             stats_forward=self._stats_fwd)
         self.model = q.make_int8_apply(self.variables["params"], scales,
                                        self.dtype)
         self._scales = dict(scales)
