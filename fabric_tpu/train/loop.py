@@ -100,8 +100,15 @@ def _epoch(step_fn, state, batches, accumulator, train: bool,
             on_first_batch(batch, stats)
             first = False
         if stream:
+            loss_val = float(stats["loss"])
+            if train and not np.isfinite(loss_val):
+                if tracker is not None:
+                    tracker.set_status("diverged")
+                raise FloatingPointError(
+                    f"non-finite training loss at batch {i + 1} "
+                    f"(loss={loss_val})")
             accumulator.update(
-                float(stats["loss"]),
+                loss_val,
                 {k: int(stats[k]) for k in ("tp", "fp", "fn", "tn")})
             if (i + 1) % log_every == 0:
                 # per-batch running-mean stream, the reference's comet
@@ -114,6 +121,18 @@ def _epoch(step_fn, state, batches, accumulator, train: bool,
             on_step(state, stats)
     if rows:
         stacked = _stack_rows(rows)
+        if train and not np.all(np.isfinite(stacked["loss"])):
+            # divergence detection (SURVEY.md §5 failure handling): a NaN/inf
+            # loss must halt the run loudly at the epoch boundary (the one
+            # host sync), not silently poison every later epoch's metrics
+            # and checkpoints.  Resume from the last finite checkpoint with
+            # a lower LR; the tuner records this as a failed trial.
+            bad = int(np.argmax(~np.isfinite(np.asarray(stacked["loss"]))))
+            if tracker is not None:
+                tracker.set_status("diverged")
+            raise FloatingPointError(
+                f"non-finite training loss at step {bad + 1}/{len(rows)} "
+                f"of this epoch (loss={np.asarray(stacked['loss'])[bad]})")
         for j in range(len(rows)):
             accumulator.update(
                 float(stacked["loss"][j]),

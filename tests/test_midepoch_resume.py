@@ -124,3 +124,36 @@ def test_periodic_sidecar_never_clobbers_best_metadata(dataset_root):
         side = json.load(f)
     assert side["periodic"] and side["batches_done"] >= 1
     assert len(side["train_rows"]) == side["batches_done"]
+
+
+def test_nonfinite_loss_halts_with_diverged_status(dataset_root,
+                                                   monkeypatch):
+    """Divergence detection (SURVEY §5): a NaN loss halts the run at the
+    epoch boundary with status 'diverged' instead of silently poisoning
+    later epochs' metrics and checkpoints."""
+    import json
+    import os
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    real_make = loop_mod.make_train_step
+
+    def _nan_make(model, loss_fn):
+        step = real_make(model, loss_fn)
+
+        def wrapped(state, batch):
+            new, stats = step(state, batch)
+            stats["loss"] = stats["loss"] * jnp.float32("nan")
+            return new, stats
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, "make_train_step", _nan_make)
+    cfg = _cfg(dataset_root, weights="w_nan", logs="l_nan")
+    with _pytest.raises(FloatingPointError, match="non-finite"):
+        loop_mod.train(cfg, run_scene_inference=False)
+    # Tracker writes under log_dir/<run_name>/status.json
+    import glob
+    paths = glob.glob(os.path.join(cfg.log_dir, "*", "status.json"))
+    assert paths, f"no status.json under {cfg.log_dir}"
+    with open(paths[0]) as f:
+        assert json.load(f)["status"] == "diverged"
