@@ -238,6 +238,91 @@ def microbench_group_conv(batch: int, patch: int, iters: int,
             "grouped_n_c128_ms": round(timeit(grouped, xg, kg), 3)}
 
 
+def microbench_space_to_depth(batch: int, patch: int, iters: int,
+                              dtype_name: str) -> dict:
+    """Lane-packing probe #2: phase-shifted space-to-depth.
+
+    The stage ablation pins the MFU ceiling on the Cout=64 full-resolution
+    layers (BASELINE.md).  The remaining algebraic counter-move: a 3x3
+    stride-1 conv on (N,H,W,64) is EXACTLY a 2x2 conv on the 1-px-shifted
+    space-to-depth(2) tensor (N,H/2+1,W/2+1,256) — 256 in/out channels
+    fill the MXU's 128 lanes, at the cost of 16/9 = 1.78x the MACs (each
+    output sub-pixel ignores 1 of the 4 phase rows, but the dense kernel
+    pays for it) plus the rearrangement.  Win requires >1.78x better
+    tiling; this measures direct vs s2d forms on the same math and checks
+    bit-equality of the result."""
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    rng = np.random.RandomState(0)
+    n, c = batch, 64
+    x = jnp.asarray(rng.randn(n, patch, patch, c) * 0.1, dt)
+    w = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, dt)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    # s2d weight: W2[a2,b2,(a,b,cin),(di,dj,k)] = w[u,v,cin,k] where the
+    # tap of output sub-pixel (di,dj) at shifted-phase (a,b) in kernel cell
+    # (a2,b2) reads input row 2*a2+a-1 relative to the output row, i.e.
+    # u = 2*a2+a-1-di  (and likewise v); taps with u or v outside [-1,1]
+    # are structural zeros (the 16/9 overhead).
+    w2 = np.zeros((2, 2, 4 * c, 4 * c), np.float32)
+    wf = np.asarray(w, np.float32)
+    for a2 in range(2):
+        for b2 in range(2):
+            for a in range(2):
+                for b in range(2):
+                    for di in range(2):
+                        for dj in range(2):
+                            u = 2 * a2 + a - 1 - di
+                            v = 2 * b2 + b - 1 - dj
+                            if -1 <= u <= 1 and -1 <= v <= 1:
+                                w2[a2, b2,
+                                   (a * 2 + b) * c:(a * 2 + b + 1) * c,
+                                   (di * 2 + dj) * c:(di * 2 + dj + 1) * c] \
+                                    = wf[u + 1, v + 1]
+    w2 = jnp.asarray(w2, dt)
+
+    @jax.jit
+    def direct(x, w):
+        return jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                            dimension_numbers=dn)
+
+    @jax.jit
+    def s2d(x, w2):
+        # pad 1 px (top/left phase shift) + 1 px bottom/right so H+2 is
+        # even and every 2x2 kernel window exists; VALID 2x2 conv then
+        # yields exactly H/2 x W/2 output blocks
+        h = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xr = xp.reshape(x.shape[0], (h + 2) // 2, 2, (h + 2) // 2, 2, c)
+        xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(
+            x.shape[0], (h + 2) // 2, (h + 2) // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(xr, w2, (1, 1), "VALID",
+                                         dimension_numbers=dn)
+        # depth-to-space back to (N,H,W,64)
+        y = y.reshape(x.shape[0], h // 2, h // 2, 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(x.shape)
+        return y
+
+    ref = np.asarray(direct(x, w), np.float32)
+    got = np.asarray(s2d(x, w2), np.float32)
+    max_err = float(np.max(np.abs(ref - got)))
+
+    def timeit(fn, *a):
+        y = fn(*a)
+        _sync(y)
+        t0 = time.time()
+        for _ in range(iters):
+            y = fn(*a)
+        _sync(y)
+        return (time.time() - t0) / iters * 1000
+
+    return {"microbench": "space_to_depth", "batch": batch, "patch": patch,
+            "iters": iters, "dtype": dtype_name, "max_abs_err": max_err,
+            "direct_3x3_c64_ms": round(timeit(direct, x, w), 3),
+            "s2d_2x2_c256_ms": round(timeit(s2d, x, w2), 3)}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default=None,
@@ -245,7 +330,8 @@ def main(argv=None) -> int:
                              "full_remat", "no_donate"])
     ap.add_argument("--stage", type=int, default=None)
     ap.add_argument("--grad", action="store_true")
-    ap.add_argument("--microbench", choices=["group_conv"], default=None)
+    ap.add_argument("--microbench",
+                    choices=["group_conv", "space_to_depth"], default=None)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=10)
@@ -255,6 +341,9 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     if args.microbench == "group_conv":
         print(json.dumps(microbench_group_conv(
+            args.batch, args.patch, args.iters, args.dtype)))
+    elif args.microbench == "space_to_depth":
+        print(json.dumps(microbench_space_to_depth(
             args.batch, args.patch, args.iters, args.dtype)))
     elif args.variant:
         print(json.dumps(time_variant(args.variant, args.batch, args.patch,
