@@ -119,6 +119,11 @@ class Config:
     prefetch: int = 2  # device prefetch depth for the input pipeline
     use_pallas: bool = False  # route fused ops through Pallas kernels
     remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)
+    # Space-to-depth lane packing for the Cout=64 full-res 3x3 convs
+    # (ops/s2d_conv.py): measured 1.42x per conv at patch>=96 on the v5e
+    # but a LOSS at patch 64, so it gates itself by shape; exact math up
+    # to bf16 rounding (off by default to keep reference-parity bitwise).
+    lane_pack: bool = False
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
     # True: apply the shared encoder per date so train-mode BatchNorm uses
     # per-date batch statistics, exactly as the reference's twice-applied

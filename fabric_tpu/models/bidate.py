@@ -58,13 +58,17 @@ class BiDateNet(nn.Module):
     # (measured 1.29x on up4's shape on the v5e).  Same math up to fp32
     # accumulation order; identical parameter tree.
     split_up_concat: bool = False
+    # Space-to-depth lane packing for Cout=64 full-res convs
+    # (ops/s2d_conv.py; shape-gated — wins at patch>=96, loses at 64).
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x_d1, x_d2, train: bool = True):
         """x_d1, x_d2: (N, H, W, n_channels) NHWC. Returns float32 logits
         (N, H, W, n_classes)."""
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                  use_pallas=self.use_pallas, fold_bn=self.fold_bn)
+                  use_pallas=self.use_pallas, fold_bn=self.fold_bn,
+                  lane_pack=self.lane_pack)
         b = self.base
         DC, Dn, UpB = DoubleConv, Down, Up
         if self.remat and train:

@@ -98,6 +98,11 @@ class DoubleConv(nn.Module):
     # skip the BN modules entirely so eval is conv -> ReLU (single fused
     # MXU op).  Only valid with train=False.
     fold_bn: bool = False
+    # lane_pack: compute Cout<128 3x3 convs in space-to-depth(2) layout
+    # (ops/s2d_conv.py) — 4x the channels fill the MXU lanes; measured
+    # 1.42x per conv at patch>=96 on the v5e (shape-gated by supports()).
+    # Exact math up to bf16 rounding; param tree unchanged.
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -138,6 +143,20 @@ class DoubleConv(nn.Module):
                     # ('convN'/kernel+bias) as nn.Conv
                     x = _PallasConvRelu(self.features, dtype=self.dtype,
                                         name=f"conv{i + 1}")(x)
+                    continue
+            if self.lane_pack:
+                from fabric_tpu.ops import s2d_conv
+                if s2d_conv.supports(x.shape[-3], x.shape[-2],
+                                     x.shape[-1], self.features):
+                    k, bias = _Conv3x3Params(self.features,
+                                             name=f"conv{i + 1}")(x.shape[-1])
+                    x = s2d_conv.s2d_conv3x3(x.astype(self.dtype),
+                                             k.astype(self.dtype), bias)
+                    if self.fold_bn:
+                        assert not train
+                        x = nn.relu(x).astype(self.dtype)
+                    else:
+                        x = self._bn_relu(x, train, i)
                     continue
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
@@ -201,12 +220,14 @@ class Down(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
     fold_bn: bool = False
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
-                          self.use_pallas, self.fold_bn, name="conv")(x, train)
+                          self.use_pallas, self.fold_bn, self.lane_pack,
+                          name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -232,6 +253,7 @@ class Up(nn.Module):
     use_pallas: bool = False
     fold_bn: bool = False
     split_concat: bool = False
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
@@ -242,7 +264,8 @@ class Up(nn.Module):
                                     name="conv")(x2, x1, self.fold_bn)
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
-                          self.use_pallas, self.fold_bn, name="conv")(x, train)
+                          self.use_pallas, self.fold_bn, self.lane_pack,
+                          name="conv")(x, train)
 
 
 class _SplitDoubleConv(nn.Module):

@@ -131,7 +131,10 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
                  dtype: str) -> dict:
     from fabric_tpu.config import Config
     cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch,
-                 remat=variant == "full_remat")
+                 remat=variant == "full_remat",
+                 lane_pack=variant == "full_lane_pack")
+    if variant == "full_lane_pack":
+        variant = "full"
     carry, fn = build_variant(variant, cfg)
     batch_data = _data(batch, patch)
     t0 = time.time()
@@ -239,7 +242,8 @@ def microbench_group_conv(batch: int, patch: int, iters: int,
 
 
 def microbench_space_to_depth(batch: int, patch: int, iters: int,
-                              dtype_name: str) -> dict:
+                              dtype_name: str, cin: int = 64,
+                              cout: int = 64) -> dict:
     """Lane-packing probe #2: phase-shifted space-to-depth.
 
     The stage ablation pins the MFU ceiling on the Cout=64 full-resolution
@@ -255,17 +259,17 @@ def microbench_space_to_depth(batch: int, patch: int, iters: int,
     import jax.numpy as jnp
     dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     rng = np.random.RandomState(0)
-    n, c = batch, 64
-    x = jnp.asarray(rng.randn(n, patch, patch, c) * 0.1, dt)
-    w = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, dt)
+    n = batch
+    x = jnp.asarray(rng.randn(n, patch, patch, cin) * 0.1, dt)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, dt)
     dn = ("NHWC", "HWIO", "NHWC")
 
-    # s2d weight: W2[a2,b2,(a,b,cin),(di,dj,k)] = w[u,v,cin,k] where the
+    # s2d weight: W2[a2,b2,(a,b,ci),(di,dj,k)] = w[u,v,ci,k] where the
     # tap of output sub-pixel (di,dj) at shifted-phase (a,b) in kernel cell
     # (a2,b2) reads input row 2*a2+a-1 relative to the output row, i.e.
     # u = 2*a2+a-1-di  (and likewise v); taps with u or v outside [-1,1]
     # are structural zeros (the 16/9 overhead).
-    w2 = np.zeros((2, 2, 4 * c, 4 * c), np.float32)
+    w2 = np.zeros((2, 2, 4 * cin, 4 * cout), np.float32)
     wf = np.asarray(w, np.float32)
     for a2 in range(2):
         for b2 in range(2):
@@ -277,8 +281,9 @@ def microbench_space_to_depth(batch: int, patch: int, iters: int,
                             v = 2 * b2 + b - 1 - dj
                             if -1 <= u <= 1 and -1 <= v <= 1:
                                 w2[a2, b2,
-                                   (a * 2 + b) * c:(a * 2 + b + 1) * c,
-                                   (di * 2 + dj) * c:(di * 2 + dj + 1) * c] \
+                                   (a * 2 + b) * cin:(a * 2 + b + 1) * cin,
+                                   (di * 2 + dj) * cout:
+                                   (di * 2 + dj + 1) * cout] \
                                     = wf[u + 1, v + 1]
     w2 = jnp.asarray(w2, dt)
 
@@ -294,14 +299,15 @@ def microbench_space_to_depth(batch: int, patch: int, iters: int,
         # yields exactly H/2 x W/2 output blocks
         h = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        xr = xp.reshape(x.shape[0], (h + 2) // 2, 2, (h + 2) // 2, 2, c)
+        xr = xp.reshape(x.shape[0], (h + 2) // 2, 2, (h + 2) // 2, 2, cin)
         xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(
-            x.shape[0], (h + 2) // 2, (h + 2) // 2, 4 * c)
+            x.shape[0], (h + 2) // 2, (h + 2) // 2, 4 * cin)
         y = jax.lax.conv_general_dilated(xr, w2, (1, 1), "VALID",
                                          dimension_numbers=dn)
-        # depth-to-space back to (N,H,W,64)
-        y = y.reshape(x.shape[0], h // 2, h // 2, 2, 2, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(x.shape)
+        # depth-to-space back to (N,H,W,cout)
+        y = y.reshape(x.shape[0], h // 2, h // 2, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            x.shape[0], h, h, cout)
         return y
 
     ref = np.asarray(direct(x, w), np.float32)
@@ -318,16 +324,17 @@ def microbench_space_to_depth(batch: int, patch: int, iters: int,
         return (time.time() - t0) / iters * 1000
 
     return {"microbench": "space_to_depth", "batch": batch, "patch": patch,
+            "cin": cin, "cout": cout,
             "iters": iters, "dtype": dtype_name, "max_abs_err": max_err,
-            "direct_3x3_c64_ms": round(timeit(direct, x, w), 3),
-            "s2d_2x2_c256_ms": round(timeit(s2d, x, w2), 3)}
+            "direct_3x3_ms": round(timeit(direct, x, w), 3),
+            "s2d_2x2_ms": round(timeit(s2d, x, w2), 3)}
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default=None,
                     choices=["full", "grad", "fwd", "eval_fwd",
-                             "full_remat", "no_donate"])
+                             "full_remat", "no_donate", "full_lane_pack"])
     ap.add_argument("--stage", type=int, default=None)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--microbench",
@@ -335,6 +342,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cin", type=int, default=64)
+    ap.add_argument("--cout", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args(argv)
     import os
@@ -344,7 +353,8 @@ def main(argv=None) -> int:
             args.batch, args.patch, args.iters, args.dtype)))
     elif args.microbench == "space_to_depth":
         print(json.dumps(microbench_space_to_depth(
-            args.batch, args.patch, args.iters, args.dtype)))
+            args.batch, args.patch, args.iters, args.dtype,
+            args.cin, args.cout)))
     elif args.variant:
         print(json.dumps(time_variant(args.variant, args.batch, args.patch,
                                       args.iters, args.dtype)))
