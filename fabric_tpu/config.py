@@ -120,10 +120,12 @@ class Config:
     use_pallas: bool = False  # route fused ops through Pallas kernels
     remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)
     # Space-to-depth lane packing for the Cout=64 full-res 3x3 convs
-    # (ops/s2d_conv.py): measured 1.42x per conv at patch>=96 on the v5e
-    # but a LOSS at patch 64, so it gates itself by shape; exact math up
-    # to bf16 rounding (off by default to keep reference-parity bitwise).
+    # (ops/s2d_conv.py): measured 1.42x per ISOLATED conv at patch>=96 on
+    # the v5e, but a 1.6-2.1x LOSS in the full train graph (the layout
+    # shuffles break XLA's conv+BN fusion clusters — BASELINE.md r3
+    # analysis), so it stays off; kept for measurement reproducibility.
     lane_pack: bool = False
+    lane_pack_bwd: bool = False  # also pack the dgrad convs (see ops/s2d_conv.py)
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
     # True: apply the shared encoder per date so train-mode BatchNorm uses
     # per-date batch statistics, exactly as the reference's twice-applied

@@ -29,6 +29,7 @@ def build_model(cfg):
         return BiDateNet(base=base or 64,
                          use_pallas=getattr(cfg, "use_pallas", False),
                          lane_pack=getattr(cfg, "lane_pack", False),
+                         lane_pack_bwd=getattr(cfg, "lane_pack_bwd", False),
                          remat=getattr(cfg, "remat", False),
                          joint_date_batchnorm=not getattr(
                              cfg, "per_date_batchnorm", False),

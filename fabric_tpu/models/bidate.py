@@ -59,8 +59,11 @@ class BiDateNet(nn.Module):
     # accumulation order; identical parameter tree.
     split_up_concat: bool = False
     # Space-to-depth lane packing for Cout=64 full-res convs
-    # (ops/s2d_conv.py; shape-gated — wins at patch>=96, loses at 64).
+    # (ops/s2d_conv.py; wins 1.42x per isolated conv at patch>=96 but
+    # measured a net LOSS in the full graph — see BASELINE.md; off in
+    # production).  lane_pack_bwd additionally packs the dgrad convs.
     lane_pack: bool = False
+    lane_pack_bwd: bool = False
 
     @nn.compact
     def __call__(self, x_d1, x_d2, train: bool = True):
@@ -68,7 +71,8 @@ class BiDateNet(nn.Module):
         (N, H, W, n_classes)."""
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                   use_pallas=self.use_pallas, fold_bn=self.fold_bn,
-                  lane_pack=self.lane_pack)
+                  lane_pack=self.lane_pack,
+                  lane_pack_bwd=self.lane_pack_bwd)
         b = self.base
         DC, Dn, UpB = DoubleConv, Down, Up
         if self.remat and train:

@@ -99,10 +99,15 @@ class DoubleConv(nn.Module):
     # MXU op).  Only valid with train=False.
     fold_bn: bool = False
     # lane_pack: compute Cout<128 3x3 convs in space-to-depth(2) layout
-    # (ops/s2d_conv.py) — 4x the channels fill the MXU lanes; measured
-    # 1.42x per conv at patch>=96 on the v5e (shape-gated by supports()).
-    # Exact math up to bf16 rounding; param tree unchanged.
+    # (ops/s2d_conv.py) — 4x the channels fill the MXU lanes.  Measured
+    # 1.42x per ISOLATED conv at patch>=96 but 1.6-2.1x SLOWER in the
+    # full train graph (layout shuffles break XLA's conv+BN fusions; see
+    # BASELINE.md r3 analysis) — kept off in production, retained so the
+    # measurement is reproducible.  Gradients are hand-written
+    # (custom_vjp, direct-form convs); lane_pack_bwd additionally
+    # computes the dgrad conv in packed form.
     lane_pack: bool = False
+    lane_pack_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -150,8 +155,9 @@ class DoubleConv(nn.Module):
                                      x.shape[-1], self.features):
                     k, bias = _Conv3x3Params(self.features,
                                              name=f"conv{i + 1}")(x.shape[-1])
-                    x = s2d_conv.s2d_conv3x3(x.astype(self.dtype),
-                                             k.astype(self.dtype), bias)
+                    x = s2d_conv.conv3x3_lane_packed(
+                        x.astype(self.dtype), k.astype(self.dtype), bias,
+                        self.lane_pack_bwd)
                     if self.fold_bn:
                         assert not train
                         x = nn.relu(x).astype(self.dtype)
@@ -221,13 +227,14 @@ class Down(nn.Module):
     use_pallas: bool = False
     fold_bn: bool = False
     lane_pack: bool = False
+    lane_pack_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
                           self.use_pallas, self.fold_bn, self.lane_pack,
-                          name="conv")(x, train)
+                          self.lane_pack_bwd, name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -254,6 +261,7 @@ class Up(nn.Module):
     fold_bn: bool = False
     split_concat: bool = False
     lane_pack: bool = False
+    lane_pack_bwd: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
@@ -265,7 +273,7 @@ class Up(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.features, self.dtype, self.bn_axis_name,
                           self.use_pallas, self.fold_bn, self.lane_pack,
-                          name="conv")(x, train)
+                          self.lane_pack_bwd, name="conv")(x, train)
 
 
 class _SplitDoubleConv(nn.Module):

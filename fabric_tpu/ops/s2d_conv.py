@@ -28,14 +28,30 @@ output is the *unshifted* s2d of y (``z[q, a] = y[2q+a]``), and
 slices of the zero-padded z, re-interleaved (exactly SAME-padding
 semantics for the second conv).
 
-Eval-only (fold_bn serving path): results match the direct conv to
-bf16 rounding (max |delta| = 2^-9 measured; fp32 ~1e-7).  Replaces the
-cuDNN algorithm choice the reference gets for free on GPU
+Results match the direct conv to bf16 rounding (max |delta| = 2^-9
+measured; fp32 ~1e-7).  The transform targets the cuDNN algorithm choice
+the reference gets for free on GPU
 (/root/reference/models/unet_parts.py:8-23 double_conv) with an algebraic
 re-tiling XLA cannot find itself.
+
+**Measured verdict (r3): OFF in production.**  The isolated-conv win does
+not survive the full graph: with auto-grads the train step measured
+97.5 ms vs 54.7 direct; with hand-written direct-form grads
+(``conv3x3_lane_packed``) still 85.3 ms; attribution shows the train-mode
+forward ALONE goes 19.9 -> 42.6 ms in context — the s2d/d2s layout
+shuffles break XLA's conv+BN(+ReLU) fusion clusters and force fp32
+materialization of full-res tensors, exactly the composition effect that
+killed the hand-written Pallas kernels (ops/pallas_double_conv.py).  At
+the serving tile (64², batch 256) even the isolated conv loses (3.84 vs
+2.95 ms), so no inference mode wants it either.  The module stays as the
+reproducible record of the experiment (`tools/ablate_train.py
+--microbench space_to_depth`, `--variant full_lane_pack[_bwd]`,
+`--variant fwd_lane_pack`).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import jax
@@ -164,6 +180,54 @@ def s2d_double_conv(x: jax.Array,
     y = jax.nn.relu(y)
     y = conv2x2(reshift(y, co1), pack_kernel(k2.astype(x.dtype)), b2)
     return d2s(jax.nn.relu(y), co2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_lane_packed(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        pack_bwd: bool = False) -> jax.Array:
+    """``s2d_conv3x3`` with hand-written gradients.
+
+    Measured necessity (BASELINE.md, r3): letting XLA differentiate the
+    packed form made the full train step 1.78x SLOWER (97.5 ms vs 54.7 —
+    the auto-derived grads of the 2x2 conv + layout shuffles tile
+    terribly), even though the packed forward alone is 1.42x faster.
+    Since the packed forward IS a 3x3 SAME conv, its exact gradients are
+    the standard ones:
+
+      dx = conv3x3(g, rot180(K) with in/out swapped)   [dgrad]
+      dK = direct-conv wgrad (via jax.vjp of the direct form)
+      db = sum(g) over N, H, W
+
+    ``pack_bwd``: compute the dgrad conv itself in packed form too — it
+    is another Cout<128 full-res 3x3 conv with the same lane deficiency.
+    """
+    return s2d_conv3x3(x, kernel, bias)
+
+
+def _cv_fwd(x, kernel, bias, pack_bwd):
+    return s2d_conv3x3(x, kernel, bias), (x, kernel, bias)
+
+
+def _cv_bwd(pack_bwd, res, g):
+    x, kernel, bias = res
+    kt = kernel[::-1, ::-1].swapaxes(2, 3)
+    if pack_bwd and supports(g.shape[1], g.shape[2],
+                             kt.shape[2], kt.shape[3]):
+        dx = s2d_conv3x3(g, kt)
+    else:
+        dx = jax.lax.conv_general_dilated(g, kt, (1, 1), "SAME",
+                                          dimension_numbers=_DN)
+
+    def direct_k(k):
+        return jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                            dimension_numbers=_DN)
+
+    dk = jax.vjp(direct_k, kernel)[1](g)[0]
+    db = g.sum((0, 1, 2)).astype(bias.dtype)
+    return dx, dk, db
+
+
+conv3x3_lane_packed.defvjp(_cv_fwd, _cv_bwd)
 
 
 def supports(h: int, w: int, cin: int, cout: int) -> bool:

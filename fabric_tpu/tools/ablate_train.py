@@ -132,9 +132,12 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
     from fabric_tpu.config import Config
     cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch,
                  remat=variant == "full_remat",
-                 lane_pack=variant == "full_lane_pack")
-    if variant == "full_lane_pack":
+                 lane_pack="lane_pack" in variant,
+                 lane_pack_bwd=variant == "full_lane_pack_bwd")
+    if variant.startswith("full_lane_pack"):
         variant = "full"
+    elif variant == "fwd_lane_pack":
+        variant = "fwd"
     carry, fn = build_variant(variant, cfg)
     batch_data = _data(batch, patch)
     t0 = time.time()
@@ -334,7 +337,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default=None,
                     choices=["full", "grad", "fwd", "eval_fwd",
-                             "full_remat", "no_donate", "full_lane_pack"])
+                             "full_remat", "no_donate", "full_lane_pack",
+                             "full_lane_pack_bwd", "fwd_lane_pack"])
     ap.add_argument("--stage", type=int, default=None)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--microbench",

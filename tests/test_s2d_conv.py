@@ -67,6 +67,27 @@ def test_double_conv_split_extra_exact():
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("pack_bwd", [False, True])
+def test_lane_packed_grads_match_direct(pack_bwd):
+    # the custom_vjp grads must equal the direct conv's exactly
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 96, 96, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+
+    def packed(x, k, b):
+        return (s2d_conv.conv3x3_lane_packed(x, k, b, pack_bwd) ** 2).sum()
+
+    def direct(x, k, b):
+        return (_direct(x, k, b) ** 2).sum()
+
+    gp = jax.grad(packed, argnums=(0, 1, 2))(x, k, b)
+    gd = jax.grad(direct, argnums=(0, 1, 2))(x, k, b)
+    for a, want in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   atol=5e-3, rtol=1e-4)
+
+
 def test_bidate_lane_pack_matches_direct():
     # lane_pack flips eligible convs (patch>=96, Cout<128) to the packed
     # path with the SAME parameter tree; logits must match to rounding in
