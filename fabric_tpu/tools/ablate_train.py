@@ -59,7 +59,7 @@ def _sync(tree):
         jax.tree_util.tree_leaves(tree)[0].astype(jnp.float32)))
 
 
-def build_variant(variant: str, cfg):
+def build_variant(variant: str, cfg, compiler_options=None):
     """-> (carry, fn) with ``(carry, sync_leaf) = fn(carry, batch)``;
     ``sync_leaf`` is an output of that step's device computation, so
     syncing it after the loop waits for the real work (jit outputs are
@@ -76,7 +76,8 @@ def build_variant(variant: str, cfg):
 
     if variant in ("full", "full_remat", "no_donate"):
         step = make_train_step(model, loss_fn,
-                               donate=variant != "no_donate")
+                               donate=variant != "no_donate",
+                               compiler_options=compiler_options)
 
         def fn(carry, batch):
             new, stats = step(carry, batch)
@@ -128,7 +129,7 @@ def build_variant(variant: str, cfg):
 
 
 def time_variant(variant: str, batch: int, patch: int, iters: int,
-                 dtype: str) -> dict:
+                 dtype: str, compiler_options=None) -> dict:
     from fabric_tpu.config import Config
     cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch,
                  remat=variant == "full_remat",
@@ -138,7 +139,7 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
         variant = "full"
     elif variant == "fwd_lane_pack":
         variant = "fwd"
-    carry, fn = build_variant(variant, cfg)
+    carry, fn = build_variant(variant, cfg, compiler_options)
     batch_data = _data(batch, patch)
     t0 = time.time()
     carry, leaf = fn(carry, batch_data)
@@ -149,10 +150,13 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
         carry, leaf = fn(carry, batch_data)
     _sync(leaf)
     step_s = (time.time() - t0) / iters
-    return {"variant": variant, "patch": patch, "batch": batch,
-            "iters": iters, "step_ms": round(step_s * 1000, 2),
-            "examples_per_sec": round(batch / step_s, 1),
-            "compile_s": round(compile_s, 1), "dtype": dtype}
+    out = {"variant": variant, "patch": patch, "batch": batch,
+           "iters": iters, "step_ms": round(step_s * 1000, 2),
+           "examples_per_sec": round(batch / step_s, 1),
+           "compile_s": round(compile_s, 1), "dtype": dtype}
+    if compiler_options:
+        out["compiler_options"] = compiler_options
+    return out
 
 
 def time_stage_grad(stage: int, batch: int, patch: int, iters: int,
@@ -349,6 +353,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cin", type=int, default=64)
     ap.add_argument("--cout", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="per-jit XLA compiler option (repeatable); the "
+                         "only channel that reaches the remote TPU "
+                         "compiler here (XLA_FLAGS aborts locally)")
     args = ap.parse_args(argv)
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -360,8 +369,9 @@ def main(argv=None) -> int:
             args.batch, args.patch, args.iters, args.dtype,
             args.cin, args.cout)))
     elif args.variant:
+        opts = dict(kv.split("=", 1) for kv in args.xla_opt) or None
         print(json.dumps(time_variant(args.variant, args.batch, args.patch,
-                                      args.iters, args.dtype)))
+                                      args.iters, args.dtype, opts)))
     elif args.stage is not None:
         print(json.dumps(time_stage_grad(args.stage, args.batch, args.patch,
                                          args.iters, args.dtype)))

@@ -24,8 +24,17 @@ import jax.numpy as jnp
 from fabric_tpu.metrics import confusion_counts
 
 
-def make_train_step(model, loss_fn: Callable, donate: bool = True):
-    """Returns jitted ``train_step(state, batch) -> (state, stats)``."""
+def make_train_step(model, loss_fn: Callable, donate: bool = True,
+                    compiler_options: dict | None = None):
+    """Returns jitted ``train_step(state, batch) -> (state, stats)``.
+
+    ``compiler_options``: XLA backend flags for THIS computation (e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "98304"}``).  The env-var route
+    (``XLA_FLAGS``) cannot carry TPU flags here — the local CPU XLA
+    client aborts on unknown flags — but per-jit options ride the PJRT
+    compile call through the axon tunnel and are validated remotely
+    (bogus names are rejected), so they are the one working channel for
+    TPU compiler tuning on this setup."""
 
     def train_step(state, batch):
         def loss_of(params):
@@ -53,7 +62,8 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True):
         return state, stats
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(train_step, donate_argnums=donate_argnums,
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(model, loss_fn: Callable):
