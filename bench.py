@@ -112,6 +112,17 @@ def main(argv=None) -> int:
                          "metric); train = train-step examples/sec")
     args = ap.parse_args(argv)
 
+    # Unsupported combinations fail loudly instead of silently benchmarking
+    # something other than what was asked (the recorded JSON drives
+    # decisions — a mislabeled measurement is worse than no measurement).
+    if args.quant == "int8" and (args.model != "bidate"
+                                 or args.workload != "infer"):
+        raise SystemExit("--quant int8 supports the bi-date infer workload "
+                         "only (infer/quant.py quantizes the bi-date graph)")
+    if args.shard_scene and args.overlap:
+        raise SystemExit("--shard_scene serves grid-mode only (no "
+                         "--overlap); ScenePredictor enforces the same")
+
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
     # Mpx/s in the int8 serving mode (bf16 is flat across patch 64-128;
@@ -183,10 +194,12 @@ def main(argv=None) -> int:
 
     shape = (args.size, args.size, 13)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    # generate scenes on-device: an 8192^2 host float64 array would be 7 GB
-    key = jax.random.PRNGKey(0)
-    d1 = jax.random.normal(key, shape, dt)
-    d2 = jax.random.normal(jax.random.PRNGKey(1), shape, dt)
+    # generate scenes on-device: an 8192^2 host float64 array would be 7 GB.
+    # --shard_scene gets its scenes from put_scene_sharded instead — a dense
+    # allocation here would defeat the mode's larger-than-one-HBM purpose.
+    if not (args.mode == "device" and args.shard_scene):
+        d1 = jax.random.normal(jax.random.PRNGKey(0), shape, dt)
+        d2 = jax.random.normal(jax.random.PRNGKey(1), shape, dt)
 
     if args.mode == "device":
         # NOTE: block_until_ready is unreliable over the axon tunnel; force

@@ -27,13 +27,23 @@ def _to_host(tree: Any) -> Any:
 
 def save(state, directory: str, epoch: int, metadata: dict | None = None,
          tag: str = "checkpoint") -> str:
-    """Write ``<dir>/<tag>_epoch_<N>.msgpack`` (+ ``.json`` sidecar)."""
+    """Write ``<dir>/<tag>_epoch_<N>.msgpack`` (+ ``.json`` sidecar).
+
+    The metadata rides INSIDE the msgpack payload (``meta_json``), so the
+    weights and the metadata that interprets them (``batches_done`` for
+    mid-epoch resume) are one atomic ``os.replace`` — a crash can never
+    leave step-10 weights paired with a step-5 sidecar.  The JSON sidecar
+    is a human-readable mirror (and the legacy fallback for resume).
+    """
     os.makedirs(directory, exist_ok=True)
+    meta = dict(metadata or {})
+    meta.update({"epoch": epoch, "step": int(state.step)})
     payload = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
         "step": int(state.step),
+        "meta_json": json.dumps(meta, default=float),
     }
     path = os.path.join(directory, f"{tag}_epoch_{epoch}.msgpack")
     # tmp name unique per process: concurrent writers (a misconfigured
@@ -44,16 +54,17 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
         # to_bytes = to_state_dict (tuples/namedtuples -> dicts) + msgpack
         fout.write(serialization.to_bytes(payload))
     os.replace(tmp, path)
-    meta = dict(metadata or {})
-    meta.update({"epoch": epoch, "step": int(state.step)})
     # best-metric saves keep the reference-mirroring sidecar name
     # (metadata_epoch_N.json, train.py:219-220); periodic saves get a
     # tag-qualified one so a mid-epoch save never clobbers the epoch's
     # best-metric metadata (or vice versa)
-    sidecar = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-               else f"metadata_{tag}_epoch_{epoch}.json")
-    with open(os.path.join(directory, sidecar), "w") as fout:
+    sidecar = os.path.join(
+        directory, f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+        else f"metadata_{tag}_epoch_{epoch}.json")
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fout:
         json.dump(meta, fout, indent=2, default=float)
+    os.replace(tmp, sidecar)
     _write_pointer(directory, "latest", path, epoch, tag)
     if tag == "checkpoint":
         # best-metric saves (the loop only calls tag="checkpoint" on
@@ -86,22 +97,30 @@ def read_pointer(directory: str, name: str) -> str | None:
     return path if os.path.exists(path) else None
 
 
-def restore(state, path: str):
-    """Load a checkpoint file into an existing (template) TrainState."""
+def _read_payload(state, path: str) -> dict:
+    """Deserialize + shape-validate a checkpoint against a template state."""
     target = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": 0,
+        "meta_json": "",
     }
     with open(path, "rb") as fin:
+        blob = fin.read()
+    try:
+        payload = serialization.from_bytes(target, blob)
+    except (ValueError, KeyError) as e:
+        # checkpoints written before meta_json was embedded
+        legacy = {k: v for k, v in target.items() if k != "meta_json"}
         try:
-            payload = serialization.from_bytes(target, fin.read())
-        except (ValueError, KeyError) as e:
+            payload = serialization.from_bytes(legacy, blob)
+        except (ValueError, KeyError):
             raise ValueError(
                 f"checkpoint {path!r} does not match the configured model/"
                 f"optimizer (wrong --model/--model_base/--optimizer?): {e}"
             ) from e
+        payload["meta_json"] = ""
     # flax restores arrays without shape validation; catch silent mismatch
     for (kp, exp), got in zip(
             jax.tree_util.tree_flatten_with_path(state.params)[0],
@@ -113,6 +132,12 @@ def restore(state, path: str):
                 f"{getattr(got, 'shape', None)} in the checkpoint but "
                 f"{getattr(exp, 'shape', None)} in the model "
                 f"(wrong --model/--model_base?)")
+    return payload
+
+
+def restore(state, path: str):
+    """Load a checkpoint file into an existing (template) TrainState."""
+    payload = _read_payload(state, path)
     return state.replace(params=payload["params"],
                          batch_stats=payload["batch_stats"],
                          opt_state=payload["opt_state"],
@@ -170,14 +195,35 @@ def resume_if_requested(cfg, state):
     m = re.search(r"(?:^|/)([a-z]+)_epoch_(\d+)\.msgpack$", path)
     if m:
         tag, epoch = m.group(1), int(m.group(2))
+    payload = _read_payload(state, path)
     meta = {}
-    sidecar_name = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-                    else f"metadata_{tag}_epoch_{epoch}.json")
-    sidecar = os.path.join(os.path.dirname(path), sidecar_name)
-    if epoch >= 0 and os.path.exists(sidecar):
-        try:
-            with open(sidecar) as fin:
-                meta = json.load(fin)
-        except ValueError:
+    if payload.get("meta_json"):
+        # embedded metadata travels in the same atomic write as the weights
+        meta = json.loads(payload["meta_json"])
+    else:
+        # legacy checkpoint: the sidecar was a separate (non-atomic) write,
+        # so guard the pairing — a sidecar from a different save than the
+        # weights must not drive a mid-epoch fast-forward
+        sidecar_name = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+                        else f"metadata_{tag}_epoch_{epoch}.json")
+        sidecar = os.path.join(os.path.dirname(path), sidecar_name)
+        if epoch >= 0 and os.path.exists(sidecar):
+            try:
+                with open(sidecar) as fin:
+                    meta = json.load(fin)
+            except ValueError:
+                meta = {}
+        if meta and int(meta.get("step", payload["step"])) != int(
+                payload["step"]):
+            import logging
+            logging.getLogger("fabric_tpu").warning(
+                "checkpoint %s (step %d) and its metadata sidecar (step %s) "
+                "are from different saves (torn by a crash mid-save?); "
+                "ignoring the sidecar — resume will restart at the next "
+                "epoch boundary instead of fast-forwarding mid-epoch",
+                path, int(payload["step"]), meta.get("step"))
             meta = {}
-    return restore(state, path), epoch, meta
+    return state.replace(params=payload["params"],
+                         batch_stats=payload["batch_stats"],
+                         opt_state=payload["opt_state"],
+                         step=int(payload["step"])), epoch, meta

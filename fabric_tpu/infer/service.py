@@ -264,8 +264,12 @@ class ScenePredictor:
                              "use predict_multidate((T, H, W, C))")
         if self.quant == "int8":
             crops = self._calibration_crops(d1, d2)
+            # cadence counts from the FIRST scene: scene 0 only calibrates
+            # when no scales exist yet, so a bundle's curated offline scales
+            # survive until the cadence actually comes due (scene N, 2N, ...)
             due = (self._scales is None
                    or (self.recalibrate_every > 0
+                       and self._scenes_predicted > 0
                        and self._scenes_predicted % self.recalibrate_every
                        == 0))
             if due:

@@ -34,6 +34,7 @@ Reference workload being attributed: /root/reference/train.py:76-118
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -93,7 +94,8 @@ def build_variant(variant: str, cfg, compiler_options=None):
             return loss_fn(logits, batch["label"],
                            weights=batch["weight"]), updates
 
-        vg = jax.jit(jax.value_and_grad(loss_of, has_aux=True))
+        vg = jax.jit(jax.value_and_grad(loss_of, has_aux=True),
+                     compiler_options=compiler_options)
 
         def fn(carry, batch):
             (_, updates), grads = vg(carry.params, carry.batch_stats, batch)
@@ -105,7 +107,7 @@ def build_variant(variant: str, cfg, compiler_options=None):
     if variant in ("fwd", "eval_fwd"):
         train = variant == "fwd"
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=compiler_options)
         def fwd(params, batch_stats, batch):
             variables = {"params": params, "batch_stats": batch_stats}
             if train:
@@ -135,6 +137,10 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
                  remat=variant == "full_remat",
                  lane_pack="lane_pack" in variant,
                  lane_pack_bwd=variant == "full_lane_pack_bwd")
+    # lane-pack variants reuse the plain builders (the packing lives in
+    # cfg); the OUTPUT record keeps the requested name so an A/B's two
+    # JSON lines stay distinguishable
+    requested = variant
     if variant.startswith("full_lane_pack"):
         variant = "full"
     elif variant == "fwd_lane_pack":
@@ -150,7 +156,7 @@ def time_variant(variant: str, batch: int, patch: int, iters: int,
         carry, leaf = fn(carry, batch_data)
     _sync(leaf)
     step_s = (time.time() - t0) / iters
-    out = {"variant": variant, "patch": patch, "batch": batch,
+    out = {"variant": requested, "patch": patch, "batch": batch,
            "iters": iters, "step_ms": round(step_s * 1000, 2),
            "examples_per_sec": round(batch / step_s, 1),
            "compile_s": round(compile_s, 1), "dtype": dtype}
@@ -359,6 +365,8 @@ def main(argv=None) -> int:
                          "only channel that reaches the remote TPU "
                          "compiler here (XLA_FLAGS aborts locally)")
     args = ap.parse_args(argv)
+    if args.xla_opt and not args.variant:
+        ap.error("--xla_opt applies to --variant runs only")
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     if args.microbench == "group_conv":

@@ -379,6 +379,19 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                                  [float(r[k]) for k in _STAT_KEYS]
                                  for r in _rows]
                     _rows[:] = host_rows
+                    losses = np.asarray([r[0] for r in host_rows])
+                    if not np.all(np.isfinite(losses)):
+                        # halt at the save's host sync, BEFORE overwriting
+                        # periodic_epoch_N with NaN params — the last finite
+                        # periodic checkpoint stays resumable (the epoch-end
+                        # check alone would let every later save poison it)
+                        bad = int(np.argmax(~np.isfinite(losses)))
+                        tracker.set_status("diverged")
+                        raise FloatingPointError(
+                            f"non-finite training loss at batch {bad + 1} of "
+                            f"epoch {_epoch} (loss={losses[bad]}); caught at "
+                            f"the periodic-checkpoint sync — the last finite "
+                            f"periodic checkpoint is preserved")
                     ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
                               metadata={"periodic": True,
                                         "batches_done": len(_rows),

@@ -127,3 +127,60 @@ def test_pointer_files_and_metadata_resume(tmp_path):
     _, epoch, meta = ckpt.resume_if_requested(cfgr, create_state(cfgr, model))
     assert epoch == 0
     assert meta["validation_metrics"]["cd_f1scores"] == 0.7
+
+
+def test_embedded_metadata_is_atomic_with_weights(tmp_path):
+    """The metadata rides inside the msgpack payload: deleting the sidecar
+    cannot desynchronize resume from the weights (crash-torn pairs were the
+    r3 review finding)."""
+    import os
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model)
+    path = ckpt.save(state.replace(step=12), str(tmp_path), epoch=4,
+                     tag="periodic",
+                     metadata={"periodic": True, "batches_done": 12})
+    os.remove(os.path.join(str(tmp_path), "metadata_periodic_epoch_4.json"))
+    cfgr = _small_cfg(tmp_path, resume=path)
+    _, epoch, meta = ckpt.resume_if_requested(cfgr, create_state(cfgr, model))
+    assert epoch == 4
+    assert meta["batches_done"] == 12 and meta["step"] == 12
+
+
+def test_legacy_torn_sidecar_is_ignored(tmp_path, caplog):
+    """Checkpoints written before meta_json was embedded relied on a separate
+    sidecar write; if its step disagrees with the weights (crash mid-save),
+    resume must drop the sidecar instead of fast-forwarding into divergence."""
+    import json, logging, os
+    from flax import serialization
+    cfg = _small_cfg(tmp_path)
+    model = build_model(cfg)
+    state = create_state(cfg, model).replace(step=10)
+    legacy = {"params": jax.tree_util.tree_map(np.asarray, state.params),
+              "batch_stats": jax.tree_util.tree_map(np.asarray,
+                                                    state.batch_stats),
+              "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                  state.opt_state),
+              "step": 10}
+    path = os.path.join(str(tmp_path), "periodic_epoch_2.msgpack")
+    with open(path, "wb") as fout:
+        fout.write(serialization.to_bytes(legacy))
+    with open(os.path.join(str(tmp_path),
+                           "metadata_periodic_epoch_2.json"), "w") as fout:
+        json.dump({"periodic": True, "batches_done": 5, "step": 5,
+                   "epoch": 2}, fout)
+    cfgr = _small_cfg(tmp_path, resume=path)
+    with caplog.at_level(logging.WARNING, logger="fabric_tpu"):
+        resumed, epoch, meta = ckpt.resume_if_requested(
+            cfgr, create_state(cfgr, model))
+    assert resumed.step == 10 and epoch == 2
+    assert meta == {}  # torn pair: no mid-epoch fast-forward
+    assert any("different saves" in r.message for r in caplog.records)
+
+    # a CONSISTENT legacy sidecar (step matches) is still honored
+    with open(os.path.join(str(tmp_path),
+                           "metadata_periodic_epoch_2.json"), "w") as fout:
+        json.dump({"periodic": True, "batches_done": 10, "step": 10,
+                   "epoch": 2}, fout)
+    _, _, meta = ckpt.resume_if_requested(cfgr, create_state(cfgr, model))
+    assert meta["batches_done"] == 10

@@ -157,3 +157,50 @@ def test_nonfinite_loss_halts_with_diverged_status(dataset_root,
     assert paths, f"no status.json under {cfg.log_dir}"
     with open(paths[0]) as f:
         assert json.load(f)["status"] == "diverged"
+
+
+def test_nan_after_periodic_save_preserves_finite_checkpoint(dataset_root,
+                                                             monkeypatch):
+    """A NaN appearing AFTER a finite periodic save must halt at the next
+    periodic sync WITHOUT overwriting the finite checkpoint (r3 review:
+    epoch-end-only detection let every later save poison the one
+    resumable file)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    real_make = loop_mod.make_train_step
+
+    def _late_nan_make(model, loss_fn):
+        step = real_make(model, loss_fn)
+
+        def wrapped(state, batch):
+            new, stats = step(state, batch)
+            if int(new.step) >= 5:  # finite through the step-4 save
+                stats["loss"] = stats["loss"] * jnp.float32("nan")
+            return new, stats
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, "make_train_step", _late_nan_make)
+    cfg = _cfg(dataset_root, weights="w_latenan", logs="l_latenan")
+    # saves at steps 2/4 are finite; the step-6 save must detect the NaN
+    # (7 steps/epoch, so the epoch-end check alone would come too late to
+    # stop the overwrite... and with every=5 it would come FIRST, leaving
+    # the overwrite scenario untested)
+    cfg.checkpoint_every = 2
+    with _pytest.raises(FloatingPointError, match="periodic-checkpoint"):
+        loop_mod.train(cfg, run_scene_inference=False)
+    monkeypatch.setattr(loop_mod, "make_train_step", real_make)
+
+    # the step-5 finite checkpoint survived (a step-10 save never happened)
+    import fabric_tpu.checkpoint as ckpt
+    from fabric_tpu.models import build_model
+    from fabric_tpu.train.state import create_state
+    cfg_r = _cfg(dataset_root, weights="w_latenan", logs="l_latenan2",
+                 resume=cfg.weight_dir)
+    template = create_state(cfg_r, build_model(cfg_r))
+    resumed, epoch, meta = ckpt.resume_if_requested(cfg_r, template)
+    assert int(resumed.step) == 4 and epoch == 0
+    assert meta["batches_done"] == 4
+    assert all(np.all(np.isfinite(np.asarray(leaf)))
+               for leaf in jax.tree_util.tree_leaves(resumed.params))

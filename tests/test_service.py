@@ -146,3 +146,24 @@ def test_clip_report_function(caplog):
     rep_hot = q.clip_report(folded, scales, [(d1 * 4, d2 * 4)],
                             dtype=jnp.float32)
     assert max(rep_hot.values()) > 1.5
+
+
+def test_recalibration_cadence_spares_preset_scales():
+    """recalibrate_every=N must not fire on scene 0 when scales already
+    exist (r3 review: 0 % N == 0 destroyed a bundle's curated offline
+    calibration on the very first predict)."""
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=32, quant="int8",
+                          recalibrate_every=2, clip_warn_ratio=0)
+    rng = np.random.RandomState(5)
+    c1 = rng.randn(4, 16, 16, 13).astype(np.float32)
+    pred.calibrate([(c1, c1 * 0.9)])  # offline/bundle-style preset scales
+    preset = dict(pred._scales)
+    d1 = (rng.randn(32, 32, 13) * 4).astype(np.float32)  # hotter than preset
+    pred.predict(d1, d1)  # scene 0: preset survives
+    assert pred._scales == preset
+    pred.predict(d1, d1)  # scene 1: not due
+    assert pred._scales == preset
+    pred.predict(d1, d1)  # scene 2: cadence due -> re-derived from the data
+    assert pred._scales != preset
