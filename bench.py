@@ -106,6 +106,11 @@ def main(argv=None) -> int:
                     help="serve through the H-banded sharded-scene path "
                          "(infer/sharded_scene.py) over a data mesh of "
                          "all local devices")
+    ap.add_argument("--band_rows", type=int, default=0,
+                    help="overlap mode only: accumulate in bands of N tile "
+                         "rows (bounded memory — the unbanded overlap path "
+                         "OOMs at 8192²/overlap 32; this serves BASELINE "
+                         "config 4 at 10k²)")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -122,6 +127,11 @@ def main(argv=None) -> int:
     if args.shard_scene and args.overlap:
         raise SystemExit("--shard_scene serves grid-mode only (no "
                          "--overlap); ScenePredictor enforces the same")
+    if args.band_rows and (not args.overlap or args.shard_scene
+                           or args.model != "bidate"
+                           or args.mode != "device"):
+        raise SystemExit("--band_rows applies to the bi-date device "
+                         "overlap mode only")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -249,6 +259,13 @@ def main(argv=None) -> int:
                 batch_size=args.batch, dtype=dt)
             d1 = put_scene_sharded(_LazyScene(shape, 0), mesh)
             d2 = put_scene_sharded(_LazyScene(shape, 1), mesh)
+        elif args.band_rows:
+            from fabric_tpu.infer.device_tiling import (
+                make_banded_overlap_infer)
+            run = make_banded_overlap_infer(
+                model, args.patch, (args.size, args.size),
+                batch_size=args.batch, overlap=args.overlap,
+                band_tile_rows=args.band_rows, dtype=dt)
         else:
             from fabric_tpu.infer.device_tiling import make_scene_infer
             run = make_scene_infer(model, args.patch,
@@ -291,7 +308,7 @@ def main(argv=None) -> int:
     # sidecar break the headline measurement.
     int8_mpx = None
     if (args.mode == "device" and args.quant == "none" and args.fold_bn
-            and not args.shard_scene):
+            and not args.shard_scene and not args.band_rows):
         try:
             run_q = make_scene_infer(int8_apply(variables["params"]),
                                      args.patch, (args.size, args.size),
@@ -333,7 +350,7 @@ def main(argv=None) -> int:
             "scene": f"{args.size}x{args.size}x13 bi-date",
             "patch": args.patch, "batch": args.batch,
             "overlap": args.overlap, "mode": args.mode,
-            "shard_scene": args.shard_scene,
+            "shard_scene": args.shard_scene, "band_rows": args.band_rows,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
             "split_up_concat": args.split_up_concat,

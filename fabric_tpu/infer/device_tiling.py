@@ -242,6 +242,90 @@ def make_scene_infer_multidate(model, patch: int,
     return run
 
 
+def make_banded_overlap_infer(model, patch: int,
+                              scene_shape: tuple[int, int],
+                              batch_size: int = 32, overlap: int = 16,
+                              band_tile_rows: int = 16,
+                              dtype=jnp.bfloat16):
+    """Overlap-averaged whole-scene inference in row-BANDS of tile rows,
+    for scenes whose full tile set does not fit in HBM.
+
+    :func:`make_scene_infer`'s overlap mode materializes every tile before
+    the forward — at 8192²/patch 64/overlap 32 that is ~2·7 GB of tiles
+    (4× the scene per date) and OOMs a 16 GB chip.  Here only ONE band of
+    ``band_tile_rows`` consecutive tile rows is ever live: per band, slice
+    the scene slab, gather its tiles, run the chunked forward, and
+    coset-add the probabilities (and tile counts) into the (H, W)
+    accumulator at the band's static offset.  The band loop is unrolled in
+    the jit (static shapes per band; bands where the tile-row count is
+    short — the tail and the edge-anchored stop — get their own static
+    shapes).  Same math as the unbanded overlap path: probability average
+    over all covering tiles, threshold 0.5 (BASELINE config 4 at 10k×10k
+    is the capability being served — the reference tops out at host-side
+    non-overlapping grids, utils/inference.py:134-181).
+
+    Peak extra memory ≈ one band's tiles (2 dates) + two f32 canvases,
+    independent of scene height.
+    """
+    h, w = scene_shape
+    if overlap <= 0:
+        raise ValueError("banded mode is for overlap stitching; grid mode "
+                         "tiles are disjoint — use make_scene_infer")
+    stride = patch - overlap
+    ys = _axis_positions(h, patch, stride)
+    xs = _axis_positions(w, patch, stride)
+    n_reg = len(ys) - (1 if int(ys[-1]) != (len(ys) - 1) * stride else 0)
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    def forward(variables, t1, t2):
+        logits = apply_fn(variables, t1, t2, train=False)
+        return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+    def run_tiles(variables, t1, t2):
+        k = t1.shape[0]
+        pad = (-k) % batch_size
+        if pad:
+            z = jnp.zeros((pad,) + t1.shape[1:], t1.dtype)
+            t1 = jnp.concatenate([t1, z])
+            t2 = jnp.concatenate([t2, z])
+        n_chunks = (k + pad) // batch_size
+        t1 = t1.reshape(n_chunks, batch_size, patch, patch, -1)
+        t2 = t2.reshape(n_chunks, batch_size, patch, patch, -1)
+        outs = jax.lax.map(lambda ab: forward(variables, *ab), (t1, t2))
+        return outs.reshape(-1, patch, patch)[:k]
+
+    # static band plan: regular tile rows in groups of band_tile_rows,
+    # then the edge-anchored stop (if any) as its own 1-row band
+    bands: list[tuple[int, np.ndarray]] = []
+    for b0 in range(0, n_reg, band_tile_rows):
+        rows = min(band_tile_rows, n_reg - b0)
+        bands.append((b0 * stride,
+                      np.arange(rows, dtype=np.int32) * stride))
+    if n_reg != len(ys):
+        bands.append((int(ys[-1]), np.zeros(1, np.int32)))
+
+    @jax.jit
+    def run(variables, scene1, scene2):
+        s1 = scene1.astype(dtype)
+        s2 = scene2.astype(dtype)
+        acc = jnp.zeros((h, w), jnp.float32)
+        cnt = jnp.zeros((h, w), jnp.float32)
+        for y0, rel_ys in bands:
+            sh = int(rel_ys[-1]) + patch
+            t1 = _gather_tiles(s1[y0:y0 + sh], rel_ys, xs, patch)
+            t2 = _gather_tiles(s2[y0:y0 + sh], rel_ys, xs, patch)
+            probs = run_tiles(variables, t1, t2).astype(jnp.float32)
+            g = probs.reshape(len(rel_ys), len(xs), patch, patch)
+            acc = acc.at[y0:y0 + sh].add(
+                _coset_overlap_add(g, rel_ys, xs, sh, w, patch, stride))
+            cnt = cnt.at[y0:y0 + sh].add(
+                _coset_overlap_add(jnp.ones_like(g), rel_ys, xs, sh, w,
+                                   patch, stride))
+        return (acc / jnp.maximum(cnt, 1.0) > 0.5).astype(jnp.uint8)
+
+    return run
+
+
 def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
                      batch_size: int = 32, overlap: int = 0,
                      dtype=jnp.bfloat16, mesh=None):

@@ -62,6 +62,10 @@ class ScenePredictor:
         Each recalibration bakes new scales into the quantized forward
         (compile-time constants) and so re-jits the scene runner — prefer
         sparse cadences, or rely on the clip probe to tell you when.
+      overlap_band_rows: overlap mode (cfg.infer_overlap > 0): accumulate
+        probabilities in bands of N tile rows instead of materializing
+        every tile — bounded memory for large scenes (the unbanded overlap
+        path OOMs around 8192²/overlap 32 on a 16 GB chip).  0 = unbanded.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -75,7 +79,8 @@ class ScenePredictor:
                  fold_bn: bool = True, mesh=None, quant: str | None = None,
                  split_up_concat: bool = True, bundle: str | None = None,
                  shard_scene: bool = False, recalibrate_every: int = 0,
-                 clip_warn_ratio: float = 1.0):
+                 clip_warn_ratio: float = 1.0,
+                 overlap_band_rows: int = 0):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -88,6 +93,15 @@ class ScenePredictor:
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.recalibrate_every = recalibrate_every
         self.clip_warn_ratio = clip_warn_ratio
+        self.overlap_band_rows = overlap_band_rows
+        if overlap_band_rows:
+            if not getattr(cfg, "infer_overlap", 0):
+                raise ValueError("overlap_band_rows requires "
+                                 "cfg.infer_overlap > 0 (grid-mode tiles "
+                                 "are disjoint — no banding needed)")
+            if shard_scene or self.multi_date or mesh is not None:
+                raise ValueError("overlap_band_rows supports the "
+                                 "single-device bidate path only")
         self._scales: dict | None = None
         self._scenes_predicted = 0
         self.last_clip_report: dict | None = None
@@ -248,6 +262,15 @@ class ScenePredictor:
                 self._compiled[key] = make_sharded_scene_infer(
                     self.model, self.cfg.patch_size, (h, w), self.mesh,
                     batch_size=self.cfg.eval_batch_size, dtype=self.dtype)
+            elif self.overlap_band_rows:
+                from fabric_tpu.infer.device_tiling import (
+                    make_banded_overlap_infer)
+                self._compiled[key] = make_banded_overlap_infer(
+                    self.model, self.cfg.patch_size, (h, w),
+                    batch_size=self.cfg.eval_batch_size,
+                    overlap=self.cfg.infer_overlap,
+                    band_tile_rows=self.overlap_band_rows,
+                    dtype=self.dtype)
             else:
                 from fabric_tpu.infer.device_tiling import make_scene_infer
                 self._compiled[key] = make_scene_infer(

@@ -82,3 +82,32 @@ def test_device_tiling_sharded_over_mesh(setup):
                                dtype=jnp.float32, mesh=mesh)
     got = np.asarray(sharded(variables, jnp.asarray(d1), jnp.asarray(d2)))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("shape,band_rows", [((40, 55), 2), ((48, 48), 3),
+                                             ((41, 40), 1), ((40, 40), 99)])
+def test_banded_overlap_matches_unbanded(setup, shape, band_rows):
+    """Banded overlap accumulation (bounded memory for scenes whose tile
+    set exceeds HBM — BASELINE config 4 at 10k²) must reproduce the
+    unbanded overlap mask exactly: tail bands, the edge-anchored stop row,
+    and band counts larger than the grid all included."""
+    from fabric_tpu.infer.device_tiling import make_banded_overlap_infer
+    cfg, model, state, variables, _, _ = setup
+    rng = np.random.RandomState(2)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    ref_run = make_scene_infer(model, 16, shape, batch_size=8, overlap=8,
+                               dtype=jnp.float32)
+    ref = np.asarray(ref_run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    banded = make_banded_overlap_infer(model, 16, shape, batch_size=8,
+                                       overlap=8, band_tile_rows=band_rows,
+                                       dtype=jnp.float32)
+    got = np.asarray(banded(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_banded_overlap_rejects_grid_mode():
+    from fabric_tpu.infer.device_tiling import make_banded_overlap_infer
+    with pytest.raises(ValueError, match="grid mode"):
+        make_banded_overlap_infer(lambda *a, **k: None, 16, (40, 40),
+                                  overlap=0)

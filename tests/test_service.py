@@ -167,3 +167,21 @@ def test_recalibration_cadence_spares_preset_scales():
     assert pred._scales == preset
     pred.predict(d1, d1)  # scene 2: cadence due -> re-derived from the data
     assert pred._scales != preset
+
+
+def test_predictor_banded_overlap_matches_unbanded():
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8, infer_overlap=8)
+    rng = np.random.RandomState(6)
+    d1 = rng.randn(45, 53, 13).astype(np.float32)
+    d2 = rng.randn(45, 53, 13).astype(np.float32)
+    # fresh-weights predictors differ per instance; share the variables
+    base = ScenePredictor(cfg, checkpoint=None, bucket=32)
+    banded = ScenePredictor(cfg, checkpoint=None, bucket=32,
+                            overlap_band_rows=2)
+    banded.variables = base.variables
+    np.testing.assert_array_equal(banded.predict(d1, d2),
+                                  base.predict(d1, d2))
+    with pytest.raises(ValueError, match="infer_overlap"):
+        ScenePredictor(Config(patch_size=16, dtype="float32", model_base=8),
+                       overlap_band_rows=2)
