@@ -111,6 +111,12 @@ def main(argv=None) -> int:
                          "rows (bounded memory — the unbanded overlap path "
                          "OOMs at 8192²/overlap 32; this serves BASELINE "
                          "config 4 at 10k²)")
+    ap.add_argument("--fullconv", type=int, default=0,
+                    help="seamless fully-convolutional serving: run the "
+                         "net over halo-extended bands of N pixel rows "
+                         "(infer/fullconv.py) — no tiling, no seams, "
+                         "every pixel gets its full receptive field; "
+                         "0 = off")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -132,6 +138,13 @@ def main(argv=None) -> int:
                            or args.mode != "device"):
         raise SystemExit("--band_rows applies to the bi-date device "
                          "overlap mode only")
+    if args.fullconv and (args.overlap or args.shard_scene or args.band_rows
+                          or args.model != "bidate" or not args.fold_bn
+                          or args.quant != "none"
+                          or args.mode != "device"):
+        raise SystemExit("--fullconv replaces tiling: bi-date device mode "
+                         "with --fold_bn, exact dtype, no overlap/"
+                         "shard/band_rows")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -173,7 +186,8 @@ def main(argv=None) -> int:
         model = BiDateNet(dtype=_jnp.bfloat16 if args.dtype == "bfloat16"
                           else _jnp.float32, fold_bn=True,
                           use_pallas=args.use_pallas,
-                          split_up_concat=args.split_up_concat)
+                          split_up_concat=args.split_up_concat,
+                          local_upsample=bool(args.fullconv))
         variables = {"params": fold_batchnorm(state.params,
                                               state.batch_stats),
                      "batch_stats": {}}
@@ -266,6 +280,11 @@ def main(argv=None) -> int:
                 model, args.patch, (args.size, args.size),
                 batch_size=args.batch, overlap=args.overlap,
                 band_tile_rows=args.band_rows, dtype=dt)
+        elif args.fullconv:
+            from fabric_tpu.infer.fullconv import make_fullconv_scene_infer
+            run = make_fullconv_scene_infer(
+                model, (args.size, args.size), band_rows=args.fullconv,
+                dtype=dt)
         else:
             from fabric_tpu.infer.device_tiling import make_scene_infer
             run = make_scene_infer(model, args.patch,
@@ -308,7 +327,8 @@ def main(argv=None) -> int:
     # sidecar break the headline measurement.
     int8_mpx = None
     if (args.mode == "device" and args.quant == "none" and args.fold_bn
-            and not args.shard_scene and not args.band_rows):
+            and not args.shard_scene and not args.band_rows
+            and not args.fullconv):
         try:
             run_q = make_scene_infer(int8_apply(variables["params"]),
                                      args.patch, (args.size, args.size),
@@ -351,6 +371,7 @@ def main(argv=None) -> int:
             "patch": args.patch, "batch": args.batch,
             "overlap": args.overlap, "mode": args.mode,
             "shard_scene": args.shard_scene, "band_rows": args.band_rows,
+            "fullconv": args.fullconv,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
             "split_up_concat": args.split_up_concat,

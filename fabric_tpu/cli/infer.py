@@ -31,6 +31,18 @@ def main(argv=None) -> int:
                             "reuses those scales for later cities); "
                             "none = force exact bf16 even for an int8 "
                             "bundle; unset = follow the bundle")
+    extra.add_argument("--overlap_band_rows", type=int, default=0,
+                       help="overlap mode (infer_overlap > 0) on the fast "
+                            "serving path: accumulate in bands of N tile "
+                            "rows for bounded memory on large scenes "
+                            "(the unbanded overlap path OOMs around "
+                            "8192²/overlap 32 on a 16 GB chip)")
+    extra.add_argument("--fullconv_band_rows", type=int, default=0,
+                       help="seamless fully-convolutional serving: run "
+                            "the net over halo-extended bands of N pixel "
+                            "rows (infer/fullconv.py) — no tiling, no "
+                            "seams, every pixel predicted once with its "
+                            "full receptive field; 0 = off")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
@@ -43,7 +55,8 @@ def main(argv=None) -> int:
     from fabric_tpu.utils.image import write_png
 
     cfg = load_config(argv=rest)
-    fast = own.bundle is not None or own.quant == "int8"
+    fast = (own.bundle is not None or own.quant == "int8"
+            or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0)
     if not cfg.resume and not own.bundle:
         print("error: --resume <checkpoint> is required "
               "(or --bundle for the serving path)", file=sys.stderr)
@@ -56,9 +69,13 @@ def main(argv=None) -> int:
         from fabric_tpu.data.download import ensure_dataset
         from fabric_tpu.infer.service import ScenePredictor
         cfg.dataset_dir = ensure_dataset(cfg)
+        mesh = (None if own.overlap_band_rows or own.fullconv_band_rows
+                else make_mesh_from_config(cfg))
         pred = ScenePredictor(cfg, checkpoint=cfg.resume or None,
                               bundle=own.bundle, quant=own.quant,
-                              mesh=make_mesh_from_config(cfg))
+                              mesh=mesh,
+                              overlap_band_rows=own.overlap_band_rows,
+                              fullconv_band_rows=own.fullconv_band_rows)
         predict_city = pred.predict_city
     else:
         # reference-shaped step runner (bit-exact tiling semantics)

@@ -66,6 +66,14 @@ class ScenePredictor:
         probabilities in bands of N tile rows instead of materializing
         every tile — bounded memory for large scenes (the unbanded overlap
         path OOMs around 8192²/overlap 32 on a 16 GB chip).  0 = unbanded.
+      fullconv_band_rows: seamless fully-convolutional serving
+        (infer/fullconv.py): run the network directly over halo-extended
+        bands of N pixel rows instead of tiling — every pixel predicted
+        once with its full receptive field, zero tile seams, ~4x cheaper
+        than overlap-averaged stitching.  Uses the shift-invariant
+        decoder upsample (masks differ slightly from the tiled
+        reference-parity modes).  Requires fold_bn and the bidate model;
+        mutually exclusive with overlap/quant/shard_scene.  0 = off.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -80,7 +88,8 @@ class ScenePredictor:
                  split_up_concat: bool = True, bundle: str | None = None,
                  shard_scene: bool = False, recalibrate_every: int = 0,
                  clip_warn_ratio: float = 1.0,
-                 overlap_band_rows: int = 0):
+                 overlap_band_rows: int = 0,
+                 fullconv_band_rows: int = 0):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -94,6 +103,17 @@ class ScenePredictor:
         self.recalibrate_every = recalibrate_every
         self.clip_warn_ratio = clip_warn_ratio
         self.overlap_band_rows = overlap_band_rows
+        self.fullconv_band_rows = fullconv_band_rows
+        if fullconv_band_rows:
+            if (self.multi_date or shard_scene or mesh is not None
+                    or overlap_band_rows
+                    or getattr(cfg, "infer_overlap", 0)
+                    or quant == "int8" or not fold_bn):
+                raise ValueError("fullconv_band_rows serves the "
+                                 "single-device BN-folded bidate model "
+                                 "only, exact bf16/fp32, grid/overlap "
+                                 "tiling off (it replaces tiling "
+                                 "entirely)")
         if overlap_band_rows:
             if not getattr(cfg, "infer_overlap", 0):
                 raise ValueError("overlap_band_rows requires "
@@ -137,11 +157,16 @@ class ScenePredictor:
             self.model = BiDateNet(
                 n_channels=meta["n_channels"], n_classes=meta["n_classes"],
                 base=meta.get("model_base", 0) or 64, dtype=self.dtype,
-                fold_bn=True, split_up_concat=split_up_concat)
+                fold_bn=True, split_up_concat=split_up_concat,
+                local_upsample=bool(fullconv_band_rows))
             # quant=None follows the bundle's own mode; "none"/"int8"
             # force exact / quantized serving explicitly
             self.quant = quant if quant is not None else meta.get(
                 "quant", "none")
+            if fullconv_band_rows and self.quant == "int8":
+                raise ValueError("fullconv_band_rows serves exact "
+                                 "bf16/fp32 only; pass quant='none' to "
+                                 "serve an int8 bundle through it")
             if self.quant == "int8" and scales:
                 from fabric_tpu.infer import quant as q
                 self.model = q.make_int8_apply(folded, scales, self.dtype)
@@ -187,6 +212,8 @@ class ScenePredictor:
                 from fabric_tpu.models import BiDateNet
                 self.model = BiDateNet(base=base or 64,
                                        split_up_concat=split_up_concat,
+                                       local_upsample=bool(
+                                           fullconv_band_rows),
                                        **common)
             elif cfg.model == "unet_lstm":
                 from fabric_tpu.models.unet_lstm import UNetLSTM
@@ -262,6 +289,12 @@ class ScenePredictor:
                 self._compiled[key] = make_sharded_scene_infer(
                     self.model, self.cfg.patch_size, (h, w), self.mesh,
                     batch_size=self.cfg.eval_batch_size, dtype=self.dtype)
+            elif self.fullconv_band_rows:
+                from fabric_tpu.infer.fullconv import (
+                    make_fullconv_scene_infer)
+                self._compiled[key] = make_fullconv_scene_infer(
+                    self.model, (h, w),
+                    band_rows=self.fullconv_band_rows, dtype=self.dtype)
             elif self.overlap_band_rows:
                 from fabric_tpu.infer.device_tiling import (
                     make_banded_overlap_infer)

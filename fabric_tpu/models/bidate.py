@@ -64,6 +64,12 @@ class BiDateNet(nn.Module):
     # production).  lane_pack_bwd additionally packs the dgrad convs.
     lane_pack: bool = False
     lane_pack_bwd: bool = False
+    # Shift-invariant decoder upsample (ops/resize.upsample2x_local) so the
+    # whole network commutes with 16-px-aligned scene crops — the property
+    # the banded fully-convolutional scene mode (infer/fullconv.py) relies
+    # on.  Off by default: align-corners matches the reference (and the
+    # torch-weight-transfer parity oracle).
+    local_upsample: bool = False
 
     @nn.compact
     def __call__(self, x_d1, x_d2, train: bool = True):
@@ -106,7 +112,8 @@ class BiDateNet(nn.Module):
         f1, f2, f3, f4, f5 = (fuse(a, b_, self.use_pallas)
                               for a, b_ in zip(d1, d2))
 
-        ukw = dict(kw, split_concat=self.split_up_concat)
+        ukw = dict(kw, split_concat=self.split_up_concat,
+                   local_upsample=self.local_upsample)
         y = UpB(4 * b, name="up1", **ukw)(f5, f4, train)
         y = UpB(2 * b, name="up2", **ukw)(y, f3, train)
         y = UpB(b, name="up3", **ukw)(y, f2, train)

@@ -23,7 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fabric_tpu.ops.resize import upsample2x_align_corners, pad_to_match
+from fabric_tpu.ops.resize import (upsample2x_align_corners,
+                                   upsample2x_local, pad_to_match)
 
 Dtype = type(jnp.float32)
 
@@ -262,10 +263,17 @@ class Up(nn.Module):
     split_concat: bool = False
     lane_pack: bool = False
     lane_pack_bwd: bool = False
+    # Shift-invariant 2x upsample (ops/resize.upsample2x_local) instead of
+    # the reference's align-corners grid — required by the banded
+    # fully-convolutional scene mode (infer/fullconv.py), where the
+    # network must commute with scene crops.  Parameter-free either way;
+    # checkpoints are unaffected.
+    local_upsample: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
-        x1 = upsample2x_align_corners(x1)
+        x1 = (upsample2x_local(x1) if self.local_upsample
+              else upsample2x_align_corners(x1))
         x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
         if self.split_concat and not train and x2.shape[-1] % 128:
             return _SplitDoubleConv(self.features, self.dtype,

@@ -64,6 +64,41 @@ def upsample2x_align_corners(x: jax.Array) -> jax.Array:
     return resize_align_corners(x, 2 * h, 2 * w)
 
 
+def _up1d_local(x: jax.Array, axis: int) -> jax.Array:
+    """Shift-invariant 1-D 2x upsample along ``axis``: even outputs copy
+    the inputs, odd outputs are midpoints (the last odd output clamps to
+    the edge).  Pure interleave — no position-dependent weights."""
+    idx_next = [slice(None)] * x.ndim
+    idx_next[axis] = slice(1, None)
+    idx_last = [slice(None)] * x.ndim
+    idx_last[axis] = slice(-1, None)
+    nxt = jnp.concatenate([x[tuple(idx_next)], x[tuple(idx_last)]],
+                          axis=axis)
+    mid = ((x.astype(jnp.float32) + nxt.astype(jnp.float32)) * 0.5
+           ).astype(x.dtype)
+    y = jnp.stack([x, mid], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
+
+
+def upsample2x_local(x: jax.Array) -> jax.Array:
+    """Shift-invariant bilinear 2x upsample of NHWC (or HWC) arrays:
+    ``out[2i] = x[i]``, ``out[2i+1] = (x[i] + x[i+1]) / 2`` per spatial
+    axis (edge-clamped at the far end).
+
+    This is the H→∞ limit of the reference's align-corners upsample
+    (unet_parts.py:56-58): align-corners samples at ``i·(H-1)/(2H-1)``,
+    which drifts from ``i/2`` by up to ~0.5 px across the map and makes
+    the op depend on absolute position — a crop of the upsample is NOT
+    the upsample of the crop.  This local variant IS translation
+    invariant (for shifts aligned to the U-Net's total stride), which is
+    what lets :mod:`fabric_tpu.infer.fullconv` run the network over
+    halo-extended scene bands and exactly reproduce a whole-scene
+    forward."""
+    return _up1d_local(_up1d_local(x, x.ndim - 3), x.ndim - 2)
+
+
 def pad_to_match(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
     """Zero-pad NHWC spatial dims to a target, split like torch ``F.pad``
     in the reference Up block (unet_parts.py:68-72): ``diff//2`` before,

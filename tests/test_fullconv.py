@@ -1,0 +1,147 @@
+"""Seamless fully-convolutional whole-scene inference (infer/fullconv.py).
+
+The capability being tested: the U-Net is fully convolutional, so instead
+of tiling a scene into patches (the reference's only mode,
+utils/inference.py:134-236) the network can run directly over
+halo-extended scene bands — every pixel predicted once with its full
+receptive field, no tile seams.  Correctness = the banded computation
+EXACTLY reproduces a single whole-scene forward (translation invariance
+of the net at 16-px-aligned crops, given the shift-invariant decoder
+upsample), and an insufficient halo demonstrably breaks it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fabric_tpu.infer.fullconv import (make_fullconv_scene_infer,
+                                       receptive_field_radius, STRIDE)
+from fabric_tpu.models.bidate import BiDateNet
+
+
+def _model_and_vars(base=8, local_upsample=True):
+    model = BiDateNet(base=base, dtype=jnp.float32,
+                      local_upsample=local_upsample)
+    x = jnp.zeros((1, 64, 64, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    return model, variables
+
+
+def _direct_mask(model, variables, d1, d2):
+    """Oracle: single whole-scene forward (16-aligned edge pad + crop)."""
+    h, w = d1.shape[:2]
+    hp, wp = -(-h // STRIDE) * STRIDE, -(-w // STRIDE) * STRIDE
+    p1 = jnp.pad(jnp.asarray(d1), ((0, hp - h), (0, wp - w), (0, 0)),
+                 mode="edge")
+    p2 = jnp.pad(jnp.asarray(d2), ((0, hp - h), (0, wp - w), (0, 0)),
+                 mode="edge")
+    logits = model.apply(variables, p1[None], p2[None], train=False)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, ..., 1]
+    return np.asarray((prob > 0.5).astype(jnp.uint8))[:h, :w]
+
+
+def test_upsample2x_local_values():
+    from fabric_tpu.ops.resize import upsample2x_local
+    x = np.arange(12, dtype=np.float32).reshape(1, 3, 2, 2)
+    y = np.asarray(upsample2x_local(jnp.asarray(x)))
+    assert y.shape == (1, 6, 4, 2)
+    # even outputs copy inputs
+    np.testing.assert_array_equal(y[:, ::2, ::2], x)
+    # odd outputs are midpoints (edge-clamped at the far end)
+    np.testing.assert_allclose(y[0, 1, 0], (x[0, 0, 0] + x[0, 1, 0]) / 2)
+    np.testing.assert_allclose(y[0, 5, 0], x[0, 2, 0])  # clamp
+    np.testing.assert_allclose(y[0, 0, 1], (x[0, 0, 0] + x[0, 0, 1]) / 2)
+    np.testing.assert_allclose(y[0, 0, 3], x[0, 0, 1])  # clamp
+
+
+def test_local_upsample_param_tree_unchanged():
+    """local_upsample is parameter-free: any checkpoint drops in."""
+    _, va = _model_and_vars(local_upsample=True)
+    _, vb = _model_and_vars(local_upsample=False)
+    ta = jax.tree_util.tree_map(lambda x: x.shape, va)
+    tb = jax.tree_util.tree_map(lambda x: x.shape, vb)
+    assert ta == tb
+
+
+def test_receptive_field_within_default_halo():
+    """The default halo (128) must cover the measured receptive-field
+    radius with a stride step to spare — if the architecture ever grows,
+    this is the test that catches a stale default."""
+    r = receptive_field_radius()
+    assert r <= 128 - STRIDE, (
+        f"receptive-field radius {r} too close to the default halo 128; "
+        "raise the default in infer/fullconv.py")
+
+
+@pytest.mark.parametrize("shape,band_rows", [
+    ((600, 100), 160),   # 3 uniform bands + a short tail band
+    ((608, 96), 304),    # exact multiple: no tail
+    ((300, 70), 1024),   # smaller than one band: single-forward path
+])
+def test_banded_equals_whole_scene(shape, band_rows):
+    model, variables = _model_and_vars()
+    rng = np.random.RandomState(1)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer(model, shape, band_rows=band_rows,
+                                    halo=128, dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = _direct_mask(model, variables, d1, d2)
+    assert got.shape == shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_insufficient_halo_breaks_equality():
+    """Teeth: a halo below the receptive field must NOT reproduce the
+    whole-scene forward — otherwise the equality test above proves
+    nothing."""
+    model, variables = _model_and_vars()
+    shape = (600, 100)
+    rng = np.random.RandomState(2)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer(model, shape, band_rows=160, halo=16,
+                                    dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = _direct_mask(model, variables, d1, d2)
+    assert (got != ref).any()
+
+
+def test_align_corners_model_rejected():
+    model, _ = _model_and_vars(local_upsample=False)
+    with pytest.raises(ValueError, match="local_upsample"):
+        make_fullconv_scene_infer(model, (600, 100))
+    with pytest.raises(ValueError, match="multiples"):
+        make_fullconv_scene_infer(BiDateNet(local_upsample=True),
+                                  (600, 100), band_rows=100)
+
+
+def test_predictor_fullconv_wiring():
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16,
+                          fullconv_band_rows=160)
+    rng = np.random.RandomState(3)
+    d1 = rng.randn(330, 60, 13).astype(np.float32)
+    d2 = rng.randn(330, 60, 13).astype(np.float32)
+    mask = pred.predict(d1, d2)
+    assert mask.shape == (330, 60)
+    assert set(np.unique(mask)) <= {0, 1}
+    # the served mask equals the direct whole-scene forward on the
+    # bucket-padded scene (the predictor's folded model, base 8)
+    run = pred._get_runner(336, 64)
+    pad = [(0, 6), (0, 4), (0, 0)]
+    ref = np.asarray(run(pred.variables,
+                         jnp.asarray(np.pad(d1, pad, mode="edge")),
+                         jnp.asarray(np.pad(d2, pad, mode="edge"))))
+    np.testing.assert_array_equal(mask, ref[:330, :60])
+    # guards
+    with pytest.raises(ValueError, match="fullconv"):
+        ScenePredictor(Config(patch_size=16, dtype="float32", model_base=8,
+                              infer_overlap=8), fullconv_band_rows=160)
+    with pytest.raises(ValueError, match="fullconv"):
+        ScenePredictor(cfg, quant="int8", fullconv_band_rows=160)

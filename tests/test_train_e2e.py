@@ -92,6 +92,27 @@ def test_infer_cli_int8_quant(env, tmp_path):
     assert (got == ref).mean() > 0.9
 
 
+def test_infer_cli_banded_overlap(env, tmp_path):
+    """--overlap_band_rows routes the CLI through the bounded-memory banded
+    overlap path and reproduces the unbanded overlap mask exactly."""
+    from fabric_tpu.cli.infer import main
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    from fabric_tpu.utils.image import read_png_gray
+    out_dir = str(tmp_path / "masks")
+    rc = main(["--dataset_dir", env.dataset_dir, "--resume", env.weight_dir,
+               "--patch_size", "16", "--dtype", "float32",
+               "--infer_overlap", "8", "--overlap_band_rows", "2",
+               "--city", "alpha", "--output_dir", out_dir])
+    assert rc == 0
+    got = read_png_gray(os.path.join(out_dir, "alpha_mask.png"))
+    assert got.shape == (97, 113)
+    cfg = Config.from_dict({**env.to_dict(), "infer_overlap": 8})
+    ref = ScenePredictor(cfg, checkpoint=env.weight_dir).predict_city(
+        "alpha")
+    np.testing.assert_array_equal(got, ref * 255)
+
+
 def test_infer_cli_from_bundle(env, tmp_path):
     from fabric_tpu.cli.infer import main
     from fabric_tpu.tools.export import export_bundle
