@@ -117,6 +117,11 @@ def main(argv=None) -> int:
                          "(infer/fullconv.py) — no tiling, no seams, "
                          "every pixel gets its full receptive field; "
                          "0 = off")
+    ap.add_argument("--skip_sidecars", action="store_true",
+                    help="measure only the requested config (skip the "
+                         "int8 / train-step sidecar measurements) — for "
+                         "sweep runs where each process should time one "
+                         "thing")
     ap.add_argument("--workload", choices=["infer", "train"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
@@ -140,11 +145,10 @@ def main(argv=None) -> int:
                          "overlap mode only")
     if args.fullconv and (args.overlap or args.shard_scene or args.band_rows
                           or args.model != "bidate" or not args.fold_bn
-                          or args.quant != "none"
                           or args.mode != "device"):
         raise SystemExit("--fullconv replaces tiling: bi-date device mode "
-                         "with --fold_bn, exact dtype, no overlap/"
-                         "shard/band_rows")
+                         "with --fold_bn, no overlap/shard/band_rows "
+                         "(exact and --quant int8 both compose)")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -196,7 +200,7 @@ def main(argv=None) -> int:
         # benchmarked the unfolded model)
         state = state.replace(params=variables["params"], batch_stats={},
                               apply_fn=model.apply)
-    def int8_apply(params):
+    def int8_apply(params, local_upsample=False):
         """Calibrated int8 forward: activation scales from random
         normalized-distribution batches (throughput is scale-independent;
         real deployments calibrate on held-out scenes — infer/quant.py)."""
@@ -206,15 +210,19 @@ def main(argv=None) -> int:
                               jnp.float32),
                   jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
                               jnp.float32))]
-        return _quant.make_int8_apply(params,
-                                      _quant.calibrate(params, calib))
+        return _quant.make_int8_apply(
+            params,
+            _quant.calibrate(params, calib,
+                             local_upsample=local_upsample),
+            local_upsample=local_upsample)
 
     if args.quant == "int8":
         if not args.fold_bn:
             raise SystemExit("--quant int8 requires --fold_bn")
         if args.mode != "device":
             raise SystemExit("--quant int8 supports --mode device only")
-        model = int8_apply(variables["params"])
+        model = int8_apply(variables["params"],
+                           local_upsample=bool(args.fullconv))
 
     shape = (args.size, args.size, 13)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -328,7 +336,7 @@ def main(argv=None) -> int:
     int8_mpx = None
     if (args.mode == "device" and args.quant == "none" and args.fold_bn
             and not args.shard_scene and not args.band_rows
-            and not args.fullconv):
+            and not args.fullconv and not args.skip_sidecars):
         try:
             run_q = make_scene_infer(int8_apply(variables["params"]),
                                      args.patch, (args.size, args.size),
@@ -348,7 +356,8 @@ def main(argv=None) -> int:
     # so the recorded headline JSON also carries examples/sec (same
     # best-effort contract)
     train_eps = None
-    if args.quant == "none" and args.workload == "infer":
+    if (args.quant == "none" and args.workload == "infer"
+            and not args.skip_sidecars):
         try:
             # train steps are ~56 ms — too short for iters=3 to amortize
             # tunnel dispatch noise (measured 1934 ex/s @3 vs 2272 @10)

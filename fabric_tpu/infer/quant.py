@@ -100,14 +100,25 @@ def quantize_weights(folded_params) -> dict:
 
 
 def _make_forward(folded_params, qweights: Optional[dict],
-                  act_scales: Optional[dict], dtype=jnp.bfloat16):
+                  act_scales: Optional[dict], dtype=jnp.bfloat16,
+                  local_upsample: bool = False):
     """One code path for both modes.
 
     qweights/act_scales None  -> exact bf16 forward that ALSO returns
     {site: absmax} for calibration.
     qweights/act_scales given -> int8 forward returning logits only.
+    ``local_upsample`` swaps the decoder 2x upsample to the
+    shift-invariant local variant (ops/resize.upsample2x_local) so the
+    quantized forward composes with halo-banded fullconv serving
+    (infer/fullconv.py) — every other quantized op (per-tensor static
+    scales, SAME convs, aligned pooling) is already translation
+    invariant at 16-px-aligned crops.
     """
-    from fabric_tpu.ops.resize import upsample2x_align_corners
+    from fabric_tpu.ops.resize import (upsample2x_align_corners,
+                                       upsample2x_local)
+
+    upsample2x = (upsample2x_local if local_upsample
+                  else upsample2x_align_corners)
 
     quant = qweights is not None
     sites = dict(_SITES)
@@ -217,7 +228,7 @@ def _make_forward(folded_params, qweights: Optional[dict],
             # K_up) by linearity, each operand at its own scale — the
             # concat never materializes and the skip stays int8-resident
             def up_q(y, skip_q, s_skip, block):
-                u = upsample2x_align_corners(y)
+                u = upsample2x(y)
                 s_u = act_scales[f"{block}.conv1"]  # concat-range scale
                 qs = qweights[f"{block}.conv1.skip"]
                 qu = qweights[f"{block}.conv1.up"]
@@ -243,7 +254,7 @@ def _make_forward(folded_params, qweights: Optional[dict],
             y = up_q(y, f[0], act_scales["f1"], "up4")
         else:
             def up(y, skip, block):
-                y = upsample2x_align_corners(y)
+                y = upsample2x(y)
                 y = jnp.concatenate([skip, y], axis=-1)
                 return dc(y, block, stats)
 
@@ -262,7 +273,8 @@ def _make_forward(folded_params, qweights: Optional[dict],
 
 
 def calibrate(folded_params, batches, dtype=jnp.bfloat16,
-              headroom: float = 1.0, stats_forward=None) -> dict:
+              headroom: float = 1.0, stats_forward=None,
+              local_upsample: bool = False) -> dict:
     """Run the exact bf16 forward over ``batches`` (iterable of (d1, d2)
     NHWC arrays) and return {site: float} per-tensor activation scales
     (absmax/127 over all batches).
@@ -273,7 +285,8 @@ def calibrate(folded_params, batches, dtype=jnp.bfloat16,
     (saturated Sentinel-2 pixels).  1.0 (default) = exact absmax cover.
     ``stats_forward``: cached :func:`make_stats_forward` result, for
     recalibration loops that must not re-jit per call."""
-    fwd = stats_forward or make_stats_forward(folded_params, dtype)
+    fwd = stats_forward or make_stats_forward(folded_params, dtype,
+                                              local_upsample)
     maxes: dict = {}
     for d1, d2 in batches:
         _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))
@@ -283,16 +296,19 @@ def calibrate(folded_params, batches, dtype=jnp.bfloat16,
     return {k: max(v * headroom, 1e-12) / 127.0 for k, v in maxes.items()}
 
 
-def make_stats_forward(folded_params, dtype=jnp.bfloat16):
+def make_stats_forward(folded_params, dtype=jnp.bfloat16,
+                       local_upsample: bool = False):
     """Jitted exact forward returning (logits, {site: absmax}) — the
     calibration taps.  Build ONCE and reuse: the closure does not depend
     on any activation scales, so one compile serves both calibration and
     every later range probe."""
-    return jax.jit(_make_forward(folded_params, None, None, dtype))
+    return jax.jit(_make_forward(folded_params, None, None, dtype,
+                                 local_upsample))
 
 
 def clip_report(folded_params, act_scales: dict, batches,
-                dtype=jnp.bfloat16, stats_forward=None) -> dict:
+                dtype=jnp.bfloat16, stats_forward=None,
+                local_upsample: bool = False) -> dict:
     """Per-site activation-range overflow vs the calibrated int8 scales.
 
     Runs the exact forward over ``batches`` (same taps as
@@ -307,7 +323,8 @@ def clip_report(folded_params, act_scales: dict, batches,
     ``stats_forward``: a cached :func:`make_stats_forward` result —
     pass it in per-scene serving loops to avoid a re-jit per probe.
     """
-    fwd = stats_forward or make_stats_forward(folded_params, dtype)
+    fwd = stats_forward or make_stats_forward(folded_params, dtype,
+                                              local_upsample)
     maxes: dict = {}
     for d1, d2 in batches:
         _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))
@@ -318,17 +335,22 @@ def clip_report(folded_params, act_scales: dict, batches,
 
 
 def make_int8_apply(folded_params, act_scales: dict,
-                    dtype=jnp.bfloat16) -> Callable:
+                    dtype=jnp.bfloat16,
+                    local_upsample: bool = False) -> Callable:
     """Build ``apply(variables, d1, d2, train=False) -> logits`` with the
     same call signature as ``model.apply`` so it drops into
     infer.device_tiling.make_scene_infer / train.steps eval wrappers.
     ``variables`` is accepted and ignored — the quantized weights are baked
     in as compile-time constants."""
     qw = quantize_weights(folded_params)
-    fwd = _make_forward(folded_params, qw, dict(act_scales), dtype)
+    fwd = _make_forward(folded_params, qw, dict(act_scales), dtype,
+                        local_upsample)
 
     def apply(variables, d1, d2, train=False):  # noqa: ARG001
         del variables, train
         return fwd(d1, d2)
 
+    # fullconv's banding guard reads this to reject crop-inconsistent
+    # (align-corners) forwards
+    apply.local_upsample = local_upsample
     return apply

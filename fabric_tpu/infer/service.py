@@ -108,12 +108,12 @@ class ScenePredictor:
             if (self.multi_date or shard_scene or mesh is not None
                     or overlap_band_rows
                     or getattr(cfg, "infer_overlap", 0)
-                    or quant == "int8" or not fold_bn):
+                    or not fold_bn):
                 raise ValueError("fullconv_band_rows serves the "
                                  "single-device BN-folded bidate model "
-                                 "only, exact bf16/fp32, grid/overlap "
-                                 "tiling off (it replaces tiling "
-                                 "entirely)")
+                                 "only, grid/overlap tiling off (it "
+                                 "replaces tiling entirely); exact and "
+                                 "int8 modes both compose with it")
         if overlap_band_rows:
             if not getattr(cfg, "infer_overlap", 0):
                 raise ValueError("overlap_band_rows requires "
@@ -163,13 +163,11 @@ class ScenePredictor:
             # force exact / quantized serving explicitly
             self.quant = quant if quant is not None else meta.get(
                 "quant", "none")
-            if fullconv_band_rows and self.quant == "int8":
-                raise ValueError("fullconv_band_rows serves exact "
-                                 "bf16/fp32 only; pass quant='none' to "
-                                 "serve an int8 bundle through it")
             if self.quant == "int8" and scales:
                 from fabric_tpu.infer import quant as q
-                self.model = q.make_int8_apply(folded, scales, self.dtype)
+                self.model = q.make_int8_apply(
+                    folded, scales, self.dtype,
+                    local_upsample=bool(fullconv_band_rows))
                 self._scales = dict(scales)
             self._compiled = {}
             log.info("loaded serving bundle %s (quant=%s)", bundle,
@@ -235,13 +233,16 @@ class ScenePredictor:
         (e.g. patches cropped from held-out scenes) and swap the serving
         forward to the quantized path.  Clears compiled runners."""
         from fabric_tpu.infer import quant as q
+        local_up = bool(self.fullconv_band_rows)
         if getattr(self, "_stats_fwd", None) is None:
             self._stats_fwd = q.make_stats_forward(
-                self.variables["params"], self.dtype)
+                self.variables["params"], self.dtype,
+                local_upsample=local_up)
         scales = q.calibrate(self.variables["params"], batches, self.dtype,
                              stats_forward=self._stats_fwd)
         self.model = q.make_int8_apply(self.variables["params"], scales,
-                                       self.dtype)
+                                       self.dtype,
+                                       local_upsample=local_up)
         self._scales = dict(scales)
         self._compiled.clear()
 
@@ -341,7 +342,8 @@ class ScenePredictor:
                 from fabric_tpu.infer import quant as q
                 if getattr(self, "_stats_fwd", None) is None:
                     self._stats_fwd = q.make_stats_forward(
-                        self.variables["params"], self.dtype)
+                        self.variables["params"], self.dtype,
+                        local_upsample=bool(self.fullconv_band_rows))
                 report = q.clip_report(self.variables["params"],
                                        self._scales, [crops], self.dtype,
                                        stats_forward=self._stats_fwd)

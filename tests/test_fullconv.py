@@ -143,5 +143,104 @@ def test_predictor_fullconv_wiring():
     with pytest.raises(ValueError, match="fullconv"):
         ScenePredictor(Config(patch_size=16, dtype="float32", model_base=8,
                               infer_overlap=8), fullconv_band_rows=160)
-    with pytest.raises(ValueError, match="fullconv"):
-        ScenePredictor(cfg, quant="int8", fullconv_band_rows=160)
+
+
+def _folded_params(base=8):
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    model = BiDateNet(base=base, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    return fold_batchnorm(variables["params"], variables["batch_stats"])
+
+
+def test_int8_fullconv_banded_equals_whole():
+    """The int8 serving forward composes with fullconv banding: static
+    per-tensor scales, SAME convs, aligned pooling, and the local
+    upsample are all translation invariant at 16-px-aligned crops, so
+    the banded int8 computation reproduces a whole-scene int8 forward.
+
+    The integer ops (int8 convs with int32 accumulation, requantization)
+    are bit-exact across band shapes (verified directly below on the
+    forward's probabilities at an interior band); the only permitted
+    divergence is mask flips at razor-thin ties, because XLA may
+    FMA-contract the fp32 dequant epilogues (int32 * scale + bias)
+    differently in different fusion instances of the same shape — so the
+    mask assertion bounds any mismatch to |p - 0.5| ties instead of
+    demanding bit equality of the thresholded uint8."""
+    from fabric_tpu.infer import quant
+    folded = _folded_params()
+    rng = np.random.RandomState(4)
+    calib = [(jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32),
+              jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32))]
+    scales = quant.calibrate(folded, calib, dtype=jnp.float32,
+                             local_upsample=True)
+    apply_q = quant.make_int8_apply(folded, scales, jnp.float32,
+                                    local_upsample=True)
+    shape = (600, 100)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    hp, wp = 608, 112
+    p1 = jnp.pad(jnp.asarray(d1), ((0, hp - 600), (0, wp - 100), (0, 0)),
+                 mode="edge")
+    p2 = jnp.pad(jnp.asarray(d2), ((0, hp - 600), (0, wp - 100), (0, 0)),
+                 mode="edge")
+    logits = apply_q({}, p1[None], p2[None], train=False)
+    prob = np.asarray(jax.nn.softmax(logits.astype(jnp.float32),
+                                     axis=-1))[0, ..., 1]
+    # (a) translation invariance of the quantized forward itself, at the
+    # probability level: an interior band's context window reproduces the
+    # whole-scene probabilities exactly on its kept rows
+    band = apply_q({}, p1[32:448][None], p2[32:448][None], train=False)
+    pb = np.asarray(jax.nn.softmax(band.astype(jnp.float32),
+                                   axis=-1))[0, ..., 1]
+    np.testing.assert_array_equal(prob[160:320], pb[128:288])
+    # (b) the banded runner's mask: any mismatch vs the whole-scene mask
+    # must be a tie flip (fp32 FMA-contraction noise), not real divergence
+    run = make_fullconv_scene_infer(apply_q, shape, band_rows=160,
+                                    halo=128, dtype=jnp.float32)
+    got = np.asarray(run({}, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = (prob > 0.5).astype(np.uint8)[:600, :100]
+    assert got.shape == shape
+    mm = got != ref
+    assert mm.mean() <= 1e-3, f"{mm.sum()} mask mismatches"
+    if mm.any():
+        ties = np.abs(prob[:600, :100][mm] - 0.5)
+        assert ties.max() < 2e-3, (
+            f"mismatch away from the decision boundary: {ties.max()}")
+    # teeth: an align-corners int8 forward must be rejected by the guard
+    apply_ac = quant.make_int8_apply(folded, scales, jnp.float32,
+                                     local_upsample=False)
+    with pytest.raises(ValueError, match="local_upsample"):
+        make_fullconv_scene_infer(apply_ac, shape, band_rows=160)
+
+
+def test_predictor_fullconv_int8():
+    """ScenePredictor serves int8 through fullconv banding: first predict
+    self-calibrates with the local-upsample taps, and the served mask
+    equals the whole-scene quantized forward."""
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16, quant="int8",
+                          fullconv_band_rows=160)
+    rng = np.random.RandomState(5)
+    d1 = rng.randn(640, 60, 13).astype(np.float32)
+    d2 = rng.randn(640, 60, 13).astype(np.float32)
+    mask = pred.predict(d1, d2)
+    assert mask.shape == (640, 60)
+    assert set(np.unique(mask)) <= {0, 1}
+    assert getattr(pred.model, "local_upsample", False) is True
+    pad = [(0, 0), (0, 4), (0, 0)]
+    logits = pred.model({}, jnp.asarray(np.pad(d1, pad, mode="edge"))[None],
+                        jnp.asarray(np.pad(d2, pad, mode="edge"))[None],
+                        train=False)
+    prob = np.asarray(jax.nn.softmax(logits.astype(jnp.float32),
+                                     axis=-1))[0, ..., 1]
+    ref = (prob > 0.5).astype(np.uint8)[:640, :60]
+    # tie-bounded equality (see test_int8_fullconv_banded_equals_whole:
+    # fp32 dequant FMA contraction may flip exact-tie pixels)
+    mm = mask != ref
+    assert mm.mean() <= 1e-3, f"{mm.sum()} mask mismatches"
+    if mm.any():
+        assert np.abs(prob[:640, :60][mm] - 0.5).max() < 2e-3
