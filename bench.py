@@ -144,11 +144,11 @@ def main(argv=None) -> int:
         raise SystemExit("--band_rows applies to the bi-date device "
                          "overlap mode only")
     if args.fullconv and (args.overlap or args.shard_scene or args.band_rows
-                          or args.model != "bidate" or not args.fold_bn
-                          or args.mode != "device"):
-        raise SystemExit("--fullconv replaces tiling: bi-date device mode "
-                         "with --fold_bn, no overlap/shard/band_rows "
-                         "(exact and --quant int8 both compose)")
+                          or not args.fold_bn or args.mode != "device"):
+        raise SystemExit("--fullconv replaces tiling: device mode with "
+                         "--fold_bn, no overlap/shard/band_rows (exact, "
+                         "--quant int8, and the multi-date models all "
+                         "compose)")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -433,21 +433,32 @@ def _bench_multidate(args) -> int:
                       dtype=dt, fold_bn=True)
         if args.model == "unet_lstm":
             from fabric_tpu.models.unet_lstm import UNetLSTM
-            model = UNetLSTM(base=64, **common)
+            model = UNetLSTM(base=64, local_upsample=bool(args.fullconv),
+                             **common)
         else:
             from fabric_tpu.models.unet3d import UNet3D
-            model = UNet3D(base=32, **common)
+            model = UNet3D(base=32, local_upsample=bool(args.fullconv),
+                           **common)
         variables = {"params": fold_batchnorm(state.params,
                                               state.batch_stats),
                      "batch_stats": {}}
+    elif args.fullconv:
+        raise SystemExit("--fullconv requires --fold_bn")
 
     scenes = jax.random.normal(
         jax.random.PRNGKey(0), (args.num_dates, args.size, args.size, 13),
         dt)
-    run = make_scene_infer_multidate(
-        model, args.patch, (args.size, args.size),
-        num_dates=args.num_dates, batch_size=args.batch,
-        overlap=args.overlap, dtype=dt)
+    if args.fullconv:
+        from fabric_tpu.infer.fullconv import (
+            make_fullconv_scene_infer_multidate)
+        run = make_fullconv_scene_infer_multidate(
+            model, (args.size, args.size), num_dates=args.num_dates,
+            band_rows=args.fullconv, dtype=dt)
+    else:
+        run = make_scene_infer_multidate(
+            model, args.patch, (args.size, args.size),
+            num_dates=args.num_dates, batch_size=args.batch,
+            overlap=args.overlap, dtype=dt)
 
     def sync(mask):
         return np.asarray(jnp.sum(mask.astype(jnp.int32)))
@@ -471,6 +482,7 @@ def _bench_multidate(args) -> int:
                             f"{args.num_dates} dates",
                    "model": args.model, "patch": args.patch,
                    "batch": args.batch, "overlap": args.overlap,
+                   "fullconv": args.fullconv,
                    "dtype": args.dtype, "fold_bn": args.fold_bn,
                    "backend": jax.default_backend(),
                    "compile_plus_first_s": round(compile_and_first, 3),

@@ -126,6 +126,15 @@ class Config:
     # analysis), so it stays off; kept for measurement reproducibility.
     lane_pack: bool = False
     lane_pack_bwd: bool = False  # also pack the dgrad convs (see ops/s2d_conv.py)
+    # Train with the shift-invariant decoder upsample
+    # (ops/resize.upsample2x_local) instead of the reference's
+    # align-corners grid — parameter-free either way (any checkpoint
+    # serves through either decoder), but training with it makes the
+    # seamless fully-convolutional serving mode (infer/fullconv.py,
+    # ScenePredictor fullconv_band_rows) serve EXACTLY the trained
+    # network instead of a decoder-swapped variant of it.  Off by
+    # default: the align-corners grid is the reference-parity decoder.
+    local_upsample: bool = False
     compat_reference_losses: bool = False  # replicate reference's (B,H)-only loss reduce
     # True: apply the shared encoder per date so train-mode BatchNorm uses
     # per-date batch statistics, exactly as the reference's twice-applied

@@ -137,3 +137,66 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
         return canvas[:h, :w]
 
     return run
+
+
+def make_fullconv_scene_infer_multidate(model, scene_shape: tuple[int, int],
+                                        num_dates: int,
+                                        band_rows: int = 1024,
+                                        halo: int = 128,
+                                        dtype=jnp.bfloat16):
+    """Build a jitted ``run(variables, scenes) -> (H, W) uint8`` seamless
+    scene-mask function for the multi-date variants — ``scenes`` is a
+    (T, H, W, C) date stack, served through UNetLSTM or UNet3D.
+
+    Both variants are translation invariant at 16-px-aligned crops once
+    built with ``local_upsample=True``: their temporal machinery — the
+    ConvLSTM's 3x3 SAME gates (unet_lstm.py), the 3D SAME convs and the
+    pointwise temporal max/mean collapse (unet3d.py) — is spatially
+    shift-invariant, and the spatial stack is the same SAME-conv /
+    aligned-pool / local-upsample pyramid as the bi-date net, so the
+    banded result exactly equals a whole-scene forward
+    (tests/test_fullconv.py pins this per variant)."""
+    h, w = scene_shape
+    if band_rows % STRIDE or halo % STRIDE:
+        raise ValueError(f"band_rows and halo must be multiples of "
+                         f"{STRIDE} (got {band_rows}, {halo})")
+    if getattr(model, "local_upsample", True) is False:
+        raise ValueError("fullconv banding requires the shift-invariant "
+                         "decoder upsample: build the model with "
+                         "local_upsample=True")
+    hp, wp = _round_up(h, STRIDE), _round_up(w, STRIDE)
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    def prob_map(variables, stack):
+        logits = apply_fn(variables, stack[None], train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, ..., 1]
+
+    ctx_h = min(hp, band_rows + 2 * halo)
+    n_uniform, tail = divmod(hp, band_rows) if ctx_h < hp else (0, 0)
+
+    @jax.jit
+    def run(variables, scenes):
+        s = jnp.pad(scenes.astype(dtype),
+                    ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        if ctx_h == hp:
+            mask = (prob_map(variables, s) > 0.5).astype(jnp.uint8)
+            return mask[:h, :w]
+
+        def band(canvas, y0, rows):
+            cs = jnp.clip(y0 - halo, 0, hp - ctx_h)
+            c = jax.lax.dynamic_slice(
+                s, (0, cs, 0, 0), (num_dates, ctx_h, wp, s.shape[-1]))
+            p = prob_map(variables, c)
+            band_mask = jax.lax.dynamic_slice(
+                (p > 0.5).astype(jnp.uint8), (y0 - cs, 0), (rows, wp))
+            return jax.lax.dynamic_update_slice(canvas, band_mask, (y0, 0))
+
+        canvas = jnp.zeros((hp, wp), jnp.uint8)
+        canvas = jax.lax.fori_loop(
+            0, n_uniform,
+            lambda i, c: band(c, i * band_rows, band_rows), canvas)
+        if tail:
+            canvas = band(canvas, n_uniform * band_rows, tail)
+        return canvas[:h, :w]
+
+    return run

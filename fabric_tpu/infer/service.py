@@ -72,8 +72,10 @@ class ScenePredictor:
         once with its full receptive field, zero tile seams, ~4x cheaper
         than overlap-averaged stitching.  Uses the shift-invariant
         decoder upsample (masks differ slightly from the tiled
-        reference-parity modes).  Requires fold_bn and the bidate model;
-        mutually exclusive with overlap/quant/shard_scene.  0 = off.
+        reference-parity modes unless the checkpoint was trained with
+        cfg.local_upsample).  Requires fold_bn; serves the bidate model
+        (exact or int8) and the multi-date variants; mutually exclusive
+        with overlap/shard_scene.  0 = off.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -105,15 +107,15 @@ class ScenePredictor:
         self.overlap_band_rows = overlap_band_rows
         self.fullconv_band_rows = fullconv_band_rows
         if fullconv_band_rows:
-            if (self.multi_date or shard_scene or mesh is not None
-                    or overlap_band_rows
+            if (shard_scene or mesh is not None or overlap_band_rows
                     or getattr(cfg, "infer_overlap", 0)
                     or not fold_bn):
-                raise ValueError("fullconv_band_rows serves the "
-                                 "single-device BN-folded bidate model "
-                                 "only, grid/overlap tiling off (it "
-                                 "replaces tiling entirely); exact and "
-                                 "int8 modes both compose with it")
+                raise ValueError("fullconv_band_rows serves single-device "
+                                 "BN-folded models only, grid/overlap "
+                                 "tiling off (it replaces tiling "
+                                 "entirely); exact and int8 modes both "
+                                 "compose with it, and the multi-date "
+                                 "variants serve through it too")
         if overlap_band_rows:
             if not getattr(cfg, "infer_overlap", 0):
                 raise ValueError("overlap_band_rows requires "
@@ -215,10 +217,14 @@ class ScenePredictor:
                                        **common)
             elif cfg.model == "unet_lstm":
                 from fabric_tpu.models.unet_lstm import UNetLSTM
-                self.model = UNetLSTM(base=base or 64, **common)
+                self.model = UNetLSTM(base=base or 64,
+                                      local_upsample=bool(
+                                          fullconv_band_rows), **common)
             else:
                 from fabric_tpu.models.unet3d import UNet3D
-                self.model = UNet3D(base=base or 32, **common)
+                self.model = UNet3D(base=base or 32,
+                                    local_upsample=bool(fullconv_band_rows),
+                                    **common)
             self.variables = {
                 "params": fold_batchnorm(state.params, state.batch_stats),
                 "batch_stats": {}}
@@ -275,7 +281,13 @@ class ScenePredictor:
         key = (h, w)
         if key not in self._compiled:
             log.info("compiling scene runner for %dx%d", h, w)
-            if self.multi_date:
+            if self.multi_date and self.fullconv_band_rows:
+                from fabric_tpu.infer.fullconv import (
+                    make_fullconv_scene_infer_multidate)
+                self._compiled[key] = make_fullconv_scene_infer_multidate(
+                    self.model, (h, w), num_dates=self.cfg.num_dates,
+                    band_rows=self.fullconv_band_rows, dtype=self.dtype)
+            elif self.multi_date:
                 from fabric_tpu.infer.device_tiling import (
                     make_scene_infer_multidate)
                 self._compiled[key] = make_scene_infer_multidate(

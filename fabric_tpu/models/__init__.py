@@ -24,7 +24,8 @@ def build_model(cfg):
             "statistics are already computed over the global batch")
     base = getattr(cfg, "model_base", 0)
     common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
-                  dtype=dtype, bn_axis_name=None)
+                  dtype=dtype, bn_axis_name=None,
+                  local_upsample=getattr(cfg, "local_upsample", False))
     if cfg.model == "bidate":
         return BiDateNet(base=base or 64,
                          use_pallas=getattr(cfg, "use_pallas", False),

@@ -66,6 +66,12 @@ class UNet3D(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     fold_bn: bool = False  # eval-only; see ops/fold_bn.py
+    # Shift-invariant decoder upsample — every other op here is already
+    # translation invariant at 16-px-aligned crops (SAME 3D convs,
+    # spatial-only aligned pooling, pointwise temporal max/mean), so this
+    # enables banded fully-convolutional serving (infer/fullconv.py).
+    # Parameter-free; checkpoints are unaffected.
+    local_upsample: bool = False
 
     @nn.compact
     def __call__(self, seq, train: bool = True):
@@ -86,7 +92,7 @@ class UNet3D(nn.Module):
         bott = jnp.mean(x5, axis=1)
 
         ukw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                   fold_bn=self.fold_bn)
+                   fold_bn=self.fold_bn, local_upsample=self.local_upsample)
         y = Up(4 * b, name="up1", **ukw)(bott, s4, train)
         y = Up(2 * b, name="up2", **ukw)(y, s3, train)
         y = Up(b, name="up3", **ukw)(y, s2, train)

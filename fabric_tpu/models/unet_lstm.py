@@ -70,6 +70,13 @@ class UNetLSTM(nn.Module):
     # BN folded into conv weights (ops/fold_bn.py) — eval-only fast path,
     # same contract as BiDateNet.fold_bn (the ConvLSTM gates have no BN)
     fold_bn: bool = False
+    # Shift-invariant decoder upsample (ops/resize.upsample2x_local) —
+    # makes the whole net translation invariant at 16-px-aligned crops
+    # (everything else already is: SAME convs, aligned pooling, the
+    # ConvLSTM's 3x3 SAME gates, pointwise temporal fusion), enabling
+    # banded fully-convolutional serving (infer/fullconv.py).
+    # Parameter-free; checkpoints are unaffected.
+    local_upsample: bool = False
 
     @nn.compact
     def __call__(self, seq, train: bool = True):
@@ -106,9 +113,10 @@ class UNetLSTM(nn.Module):
         f2 = multi_date_fuse(s2)
         f1 = multi_date_fuse(s1)
 
-        y = Up(4 * b, name="up1", **kw)(h_last, f4, train)
-        y = Up(2 * b, name="up2", **kw)(y, f3, train)
-        y = Up(b, name="up3", **kw)(y, f2, train)
-        y = Up(b, name="up4", **kw)(y, f1, train)
+        ukw = dict(kw, local_upsample=self.local_upsample)
+        y = Up(4 * b, name="up1", **ukw)(h_last, f4, train)
+        y = Up(2 * b, name="up2", **ukw)(y, f3, train)
+        y = Up(b, name="up3", **ukw)(y, f2, train)
+        y = Up(b, name="up4", **ukw)(y, f1, train)
         logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
         return logits.astype(jnp.float32)

@@ -145,6 +145,102 @@ def test_predictor_fullconv_wiring():
                               infer_overlap=8), fullconv_band_rows=160)
 
 
+def _multidate_model_and_vars(kind, base=4, num_dates=3,
+                              local_upsample=True):
+    if kind == "unet_lstm":
+        from fabric_tpu.models.unet_lstm import UNetLSTM
+        model = UNetLSTM(base=base, dtype=jnp.float32,
+                         local_upsample=local_upsample)
+    else:
+        from fabric_tpu.models.unet3d import UNet3D
+        model = UNet3D(base=base, dtype=jnp.float32,
+                       local_upsample=local_upsample)
+    x = jnp.zeros((1, num_dates, 64, 64, 13), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def _direct_mask_multidate(model, variables, scenes):
+    """Oracle: single whole-scene multi-date forward (pad + crop)."""
+    h, w = scenes.shape[1:3]
+    hp, wp = -(-h // STRIDE) * STRIDE, -(-w // STRIDE) * STRIDE
+    p = jnp.pad(jnp.asarray(scenes),
+                ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    logits = model.apply(variables, p[None], train=False)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, ..., 1]
+    return np.asarray((prob > 0.5).astype(jnp.uint8))[:h, :w]
+
+
+@pytest.mark.parametrize("kind", ["unet_lstm", "unet3d"])
+def test_multidate_banded_equals_whole_scene(kind):
+    """The multi-date variants are also translation invariant at
+    16-px-aligned crops (ConvLSTM gates are SAME convs; 3D convs are
+    SAME; temporal collapse is pointwise), so fullconv banding
+    reproduces their whole-scene forward exactly too."""
+    from fabric_tpu.infer.fullconv import make_fullconv_scene_infer_multidate
+    model, variables = _multidate_model_and_vars(kind)
+    shape, t = (432, 80), 3
+    rng = np.random.RandomState(6)
+    scenes = rng.randn(t, *shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer_multidate(
+        model, shape, num_dates=t, band_rows=160, halo=128,
+        dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(scenes)))
+    ref = _direct_mask_multidate(model, variables, scenes)
+    assert got.shape == shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_multidate_insufficient_halo_breaks_equality():
+    from fabric_tpu.infer.fullconv import make_fullconv_scene_infer_multidate
+    model, variables = _multidate_model_and_vars("unet_lstm")
+    shape, t = (432, 80), 3
+    rng = np.random.RandomState(7)
+    scenes = rng.randn(t, *shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer_multidate(
+        model, shape, num_dates=t, band_rows=160, halo=16,
+        dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(scenes)))
+    ref = _direct_mask_multidate(model, variables, scenes)
+    assert (got != ref).any()
+
+
+def test_predictor_fullconv_multidate():
+    """ScenePredictor serves the multi-date variants through fullconv
+    banding, and the served mask equals the direct whole-scene forward
+    of the predictor's folded model."""
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=4, dtype="float32",
+                 model="unet3d", model_base=4, num_dates=3)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16,
+                          fullconv_band_rows=160)
+    rng = np.random.RandomState(8)
+    scenes = rng.randn(3, 330, 60, 13).astype(np.float32)
+    mask = pred.predict_multidate(scenes)
+    assert mask.shape == (330, 60)
+    assert set(np.unique(mask)) <= {0, 1}
+    padded = np.pad(scenes, [(0, 0), (0, 6), (0, 4), (0, 0)], mode="edge")
+    ref = _direct_mask_multidate(pred.model, pred.variables, padded)
+    np.testing.assert_array_equal(mask, ref[:330, :60])
+
+
+def test_trained_local_upsample_config_roundtrip():
+    """cfg.local_upsample trains the shift-invariant decoder end-to-end:
+    build_model honors the flag, and the fullconv serving mode then runs
+    EXACTLY the trained network (no decoder swap at serving time)."""
+    from fabric_tpu.config import Config
+    from fabric_tpu.models import build_model
+    cfg = Config(dtype="float32", model_base=8, local_upsample=True)
+    model = build_model(cfg)
+    assert model.local_upsample is True
+    for kind in ("unet_lstm", "unet3d"):
+        m = build_model(Config(dtype="float32", model=kind, model_base=4,
+                               local_upsample=True))
+        assert m.local_upsample is True
+    assert build_model(Config(dtype="float32")).local_upsample is False
+
+
 def _folded_params(base=8):
     from fabric_tpu.ops.fold_bn import fold_batchnorm
     model = BiDateNet(base=base, dtype=jnp.float32)
