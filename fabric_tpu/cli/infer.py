@@ -43,6 +43,13 @@ def main(argv=None) -> int:
                             "rows (infer/fullconv.py) — no tiling, no "
                             "seams, every pixel predicted once with its "
                             "full receptive field; 0 = off")
+    extra.add_argument("--shard_scene", action="store_true",
+                       help="distribute each scene as H-bands over the "
+                            "mesh 'data' axis (per-device memory ~1/N; "
+                            "infer/sharded_scene.py) — grid mode, or "
+                            "seamless sharded fullconv when combined "
+                            "with --fullconv_band_rows (halo exchange "
+                            "over ICI)")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
@@ -56,7 +63,8 @@ def main(argv=None) -> int:
 
     cfg = load_config(argv=rest)
     fast = (own.bundle is not None or own.quant == "int8"
-            or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0)
+            or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0
+            or own.shard_scene)
     if not cfg.resume and not own.bundle:
         print("error: --resume <checkpoint> is required "
               "(or --bundle for the serving path)", file=sys.stderr)
@@ -69,11 +77,12 @@ def main(argv=None) -> int:
         from fabric_tpu.data.download import ensure_dataset
         from fabric_tpu.infer.service import ScenePredictor
         cfg.dataset_dir = ensure_dataset(cfg)
-        mesh = (None if own.overlap_band_rows or own.fullconv_band_rows
+        mesh = (None if own.overlap_band_rows
+                or (own.fullconv_band_rows and not own.shard_scene)
                 else make_mesh_from_config(cfg))
         pred = ScenePredictor(cfg, checkpoint=cfg.resume or None,
                               bundle=own.bundle, quant=own.quant,
-                              mesh=mesh,
+                              mesh=mesh, shard_scene=own.shard_scene,
                               overlap_band_rows=own.overlap_band_rows,
                               fullconv_band_rows=own.fullconv_band_rows)
         predict_city = pred.predict_city

@@ -139,6 +139,138 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
     return run
 
 
+def make_sharded_fullconv_infer(model, scene_shape: tuple[int, int], mesh,
+                                band_rows: int = 1024, halo: int = 128,
+                                dtype=jnp.bfloat16):
+    """Multi-chip seamless scene inference: the scene H-sharded over
+    ``mesh``'s ``data`` axis, fullconv banding run per device, halos
+    exchanged over ICI.
+
+    Each device owns ``h / n`` scene rows (so per-device memory scales as
+    1/N, like :mod:`fabric_tpu.infer.sharded_scene`), but unlike the
+    grid-tiled sharded mode the bands are NOT independent — every output
+    row needs its receptive field of context, which at band boundaries
+    lives on the neighboring device.  The halo moves over ICI: one
+    ``lax.ppermute`` down and one up per date exchange ``2*halo`` edge
+    rows with each neighbor (2x the interior need so the clamped uniform
+    context windows of the EDGE devices — whose windows shift inward by up
+    to ``2*halo``, exactly as the single-device banding clamps at the
+    scene boundary — stay inside the received buffer; ppermute zero-fills
+    the missing neighbor of the first/last device, and those rows are
+    never selected).  Every kept row then sees byte-identical context to a
+    whole-scene forward, so the sharded result is EXACTLY the
+    single-device fullconv mask (tests/test_fullconv.py pins sharded ==
+    whole-scene on an 8-device CPU mesh).
+
+    Requirements: ``h % n == 0``, the per-device band ``h/n`` a multiple
+    of the U-Net stride (16) and >= ``2*halo``; the serving bucket policy
+    guarantees this (ScenePredictor aligns buckets to ``n * 256``).  On a
+    1-device mesh this delegates to :func:`make_fullconv_scene_infer`
+    (no exchange needed).  ``run(variables, s1, s2)`` accepts scenes
+    placed with :func:`fabric_tpu.infer.sharded_scene.put_scene_sharded`
+    (band-streamed from host memmaps) or any (H, W, C) arrays.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w = scene_shape
+    n = mesh.shape["data"]
+    if n == 1:
+        inner = make_fullconv_scene_infer(model, scene_shape,
+                                          band_rows=band_rows, halo=halo,
+                                          dtype=dtype)
+        return lambda variables, s1, s2: inner(variables, s1, s2)
+    if band_rows % STRIDE or halo % STRIDE:
+        raise ValueError(f"band_rows and halo must be multiples of "
+                         f"{STRIDE} (got {band_rows}, {halo})")
+    if getattr(model, "local_upsample", True) is False:
+        raise ValueError("fullconv banding requires the shift-invariant "
+                         "decoder upsample: build the model with "
+                         "local_upsample=True")
+    if h % n:
+        raise ValueError(f"H={h} must divide over the {n}-device data "
+                         "axis; pad the scene (ScenePredictor buckets do)")
+    big = h // n  # this device's scene rows
+    if big % STRIDE:
+        raise ValueError(f"per-device band H/n={big} must be a multiple "
+                         f"of {STRIDE}")
+    if big < 2 * halo:
+        raise ValueError(f"per-device band H/n={big} must be >= 2*halo="
+                         f"{2 * halo} (edge devices' clamped context "
+                         "windows reach that deep into the neighbor)")
+    wp = _round_up(w, STRIDE)
+    br = min(band_rows, big)
+    n_sub, tail = divmod(big, br)
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    def band_fn(variables, s1, s2):
+        # s1, s2: (big, w, c) — this device's H-band of the scene
+        i = jax.lax.axis_index("data")
+
+        def extend(s):
+            s = jnp.pad(s.astype(dtype), ((0, 0), (0, wp - w), (0, 0)),
+                        mode="edge")
+            above = jax.lax.ppermute(  # my bottom rows -> next device
+                s[-2 * halo:], "data", [(d, d + 1) for d in range(n - 1)])
+            below = jax.lax.ppermute(  # my top rows -> previous device
+                s[:2 * halo], "data", [(d, d - 1) for d in range(1, n)])
+            # rows [i*big - 2*halo, (i+1)*big + 2*halo) of the scene
+            # (zero-filled outside [0, h); never selected there)
+            return jnp.concatenate([above, s, below], axis=0)
+
+        e1, e2 = extend(s1), extend(s2)
+
+        def prob_map(c1, c2):
+            logits = apply_fn(variables, c1[None], c2[None], train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32),
+                                  axis=-1)[0, ..., 1]
+
+        def sub(canvas, r0, rows):
+            ctx_h = rows + 2 * halo
+            y0 = i * big + r0                       # global first kept row
+            cs = jnp.clip(y0 - halo, 0, h - ctx_h)  # global context start
+            lcs = cs - (i * big - 2 * halo)         # -> local buffer offset
+            c1 = jax.lax.dynamic_slice(e1, (lcs, 0, 0),
+                                       (ctx_h, wp, e1.shape[-1]))
+            c2 = jax.lax.dynamic_slice(e2, (lcs, 0, 0),
+                                       (ctx_h, wp, e2.shape[-1]))
+            p = prob_map(c1, c2)
+            band_mask = jax.lax.dynamic_slice(
+                (p > 0.5).astype(jnp.uint8), (y0 - cs, 0), (rows, wp))
+            return jax.lax.dynamic_update_slice(canvas, band_mask, (r0, 0))
+
+        # the fresh canvas is replicated-TYPED under shard_map's
+        # varying-axes tracking, but the loop body writes device-varying
+        # rows — the fori_loop carry types must agree up front
+        canvas = jnp.zeros((big, wp), jnp.uint8)
+        if hasattr(jax.lax, "pcast"):
+            canvas = jax.lax.pcast(canvas, ("data",), to="varying")
+        else:  # older jax
+            canvas = jax.lax.pvary(canvas, ("data",))
+        canvas = jax.lax.fori_loop(
+            0, n_sub, lambda j, c: sub(c, j * br, br), canvas)
+        if tail:
+            canvas = sub(canvas, n_sub * br, tail)
+        return canvas[:, :w]
+
+    sharded = shard_map(
+        band_fn, mesh=mesh,
+        in_specs=(P(), P("data", None, None), P("data", None, None)),
+        out_specs=P("data", None))
+
+    @jax.jit
+    def run(variables, scene1, scene2):
+        spec = NamedSharding(mesh, P("data", None, None))
+        scene1 = jax.lax.with_sharding_constraint(scene1, spec)
+        scene2 = jax.lax.with_sharding_constraint(scene2, spec)
+        return sharded(variables, scene1, scene2)
+
+    return run
+
+
 def make_fullconv_scene_infer_multidate(model, scene_shape: tuple[int, int],
                                         num_dates: int,
                                         band_rows: int = 1024,

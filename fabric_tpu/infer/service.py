@@ -55,8 +55,11 @@ class ScenePredictor:
         faster on the v5e).
       shard_scene: distribute the SCENE itself as H-bands over the mesh
         ``data`` axis (infer/sharded_scene.py) — per-device memory scales
-        as 1/N, for scenes larger than one chip's HBM.  Grid mode only;
-        buckets are auto-aligned to ``n_data * patch_size``.
+        as 1/N, for scenes larger than one chip's HBM.  Grid mode
+        (buckets auto-aligned to ``n_data * patch_size``), or seamless
+        sharded fullconv when combined with ``fullconv_band_rows``
+        (infer/fullconv.make_sharded_fullconv_infer: halo exchange over
+        ICI, buckets auto-aligned to ``n_data * 256``).
       recalibrate_every: int8 mode: re-derive the activation scales from
         every Nth predicted scene (0 = calibrate once, on the first).
         Each recalibration bakes new scales into the quantized forward
@@ -107,15 +110,20 @@ class ScenePredictor:
         self.overlap_band_rows = overlap_band_rows
         self.fullconv_band_rows = fullconv_band_rows
         if fullconv_band_rows:
-            if (shard_scene or mesh is not None or overlap_band_rows
+            if ((mesh is not None and not shard_scene) or overlap_band_rows
                     or getattr(cfg, "infer_overlap", 0)
                     or not fold_bn):
-                raise ValueError("fullconv_band_rows serves single-device "
-                                 "BN-folded models only, grid/overlap "
-                                 "tiling off (it replaces tiling "
-                                 "entirely); exact and int8 modes both "
-                                 "compose with it, and the multi-date "
-                                 "variants serve through it too")
+                raise ValueError("fullconv_band_rows serves BN-folded "
+                                 "models with grid/overlap tiling off (it "
+                                 "replaces tiling entirely); exact and "
+                                 "int8 modes both compose with it, the "
+                                 "multi-date variants serve through it, "
+                                 "and shard_scene=True distributes the "
+                                 "bands over the mesh (halo exchange over "
+                                 "ICI)")
+            if shard_scene and self.multi_date:
+                raise ValueError("sharded fullconv serves the bidate "
+                                 "model only")
         if overlap_band_rows:
             if not getattr(cfg, "infer_overlap", 0):
                 raise ValueError("overlap_band_rows requires "
@@ -136,9 +144,16 @@ class ScenePredictor:
             if mesh is None:
                 raise ValueError("shard_scene requires a mesh")
             if getattr(cfg, "infer_overlap", 0):
-                raise ValueError("shard_scene supports grid mode only "
-                                 "(overlap stitching needs halos)")
-            align = mesh.shape["data"] * cfg.patch_size
+                raise ValueError("shard_scene supports grid and fullconv "
+                                 "modes only (tiled overlap stitching "
+                                 "needs its own halo machinery)")
+            if fullconv_band_rows:
+                # sharded fullconv: per-device band must be 16-aligned and
+                # >= 2*halo (edge-device context clamping) — 256 covers the
+                # default halo 128 (infer/fullconv.py)
+                align = mesh.shape["data"] * 256
+            else:
+                align = mesh.shape["data"] * cfg.patch_size
             self.bucket = max(_round_up(bucket or align, align), align)
 
         if bundle is not None:
@@ -296,6 +311,12 @@ class ScenePredictor:
                     batch_size=self.cfg.eval_batch_size,
                     overlap=getattr(self.cfg, "infer_overlap", 0),
                     dtype=self.dtype, mesh=self.mesh)
+            elif self.shard_scene and self.fullconv_band_rows:
+                from fabric_tpu.infer.fullconv import (
+                    make_sharded_fullconv_infer)
+                self._compiled[key] = make_sharded_fullconv_infer(
+                    self.model, (h, w), self.mesh,
+                    band_rows=self.fullconv_band_rows, dtype=self.dtype)
             elif self.shard_scene:
                 from fabric_tpu.infer.sharded_scene import (
                     make_sharded_scene_infer)

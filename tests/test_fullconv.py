@@ -225,6 +225,75 @@ def test_predictor_fullconv_multidate():
     np.testing.assert_array_equal(mask, ref[:330, :60])
 
 
+def test_sharded_fullconv_equals_whole_scene():
+    """Multi-chip seamless serving: the scene H-sharded over an 8-device
+    mesh, fullconv bands run per device, halos exchanged over the mesh
+    (lax.ppermute) — the distributed mask must EXACTLY equal a
+    single-forward whole-scene mask (every kept row sees byte-identical
+    context after the exchange)."""
+    from fabric_tpu.infer.fullconv import make_sharded_fullconv_infer
+    from fabric_tpu.parallel.mesh import make_mesh
+    model, variables = _model_and_vars()
+    mesh = make_mesh(data=8)
+    shape = (2048, 44)  # per-device band 256 = 2*halo; W pads to 48
+    rng = np.random.RandomState(9)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    # band_rows 96 -> per device: 2 uniform sub-bands + a 64-row tail
+    run = make_sharded_fullconv_infer(model, shape, mesh, band_rows=96,
+                                      halo=128, dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = _direct_mask(model, variables, d1, d2)
+    assert got.shape == shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_fullconv_insufficient_halo_breaks_equality():
+    from fabric_tpu.infer.fullconv import make_sharded_fullconv_infer
+    from fabric_tpu.parallel.mesh import make_mesh
+    model, variables = _model_and_vars()
+    mesh = make_mesh(data=8)
+    shape = (2048, 44)
+    rng = np.random.RandomState(10)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    run = make_sharded_fullconv_infer(model, shape, mesh, band_rows=96,
+                                      halo=16, dtype=jnp.float32)
+    got = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = _direct_mask(model, variables, d1, d2)
+    assert (got != ref).any()
+
+
+def test_sharded_fullconv_guards():
+    from fabric_tpu.infer.fullconv import make_sharded_fullconv_infer
+    from fabric_tpu.parallel.mesh import make_mesh
+    model, _ = _model_and_vars()
+    mesh = make_mesh(data=8)
+    with pytest.raises(ValueError, match="2\\*halo"):
+        # per-device band 128 < 2*halo(256)
+        make_sharded_fullconv_infer(model, (1024, 64), mesh)
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_fullconv_infer(model, (2052, 64), mesh)
+    with pytest.raises(ValueError, match="local_upsample"):
+        make_sharded_fullconv_infer(BiDateNet(local_upsample=False),
+                                    (2048, 64), mesh)
+    # predictor-level composition guards
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    with pytest.raises(ValueError, match="mesh"):
+        ScenePredictor(Config(dtype="float32", model_base=8),
+                       shard_scene=True, fullconv_band_rows=96)
+    with pytest.raises(ValueError, match="bidate"):
+        ScenePredictor(Config(dtype="float32", model="unet3d",
+                              model_base=4),
+                       mesh=mesh, shard_scene=True, fullconv_band_rows=96)
+    # bucket auto-aligns to n*256 so per-device bands satisfy 2*halo
+    pred = ScenePredictor(Config(dtype="float32", model_base=8),
+                          mesh=mesh, shard_scene=True,
+                          fullconv_band_rows=96)
+    assert pred.bucket % (8 * 256) == 0
+
+
 def test_trained_local_upsample_config_roundtrip():
     """cfg.local_upsample trains the shift-invariant decoder end-to-end:
     build_model honors the flag, and the fullconv serving mode then runs
