@@ -36,6 +36,35 @@ BASELINE_MPX_PER_SEC = 2.4
 V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
 
 
+class _LazyScene:
+    """ndarray-slicing lazy reader of synthetic bf16 bands — stands in for
+    a host memmap so the larger-than-HBM serving modes (--shard_scene,
+    --fullconv --stream) are benched without materializing a multi-GB host
+    scene."""
+
+    def __init__(self, shape, seed):
+        self.shape = shape
+        self._seed = seed
+
+    def __getitem__(self, idx):
+        import ml_dtypes
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        dims = []
+        for d, size in enumerate(self.shape):
+            sl = idx[d] if d < len(idx) else slice(None)
+            dims.append(len(range(*sl.indices(size))))
+        out = np.empty(dims, ml_dtypes.bfloat16)
+        rng = np.random.RandomState(self._seed)
+        row = int(np.prod(dims[1:])) or 1
+        step = max(1, (1 << 25) // row)  # ~256 MB f64 chunks
+        for i in range(0, dims[0], step):
+            n = min(step, dims[0] - i)
+            out[i:i + n] = rng.standard_normal(
+                (n, *dims[1:])).astype(ml_dtypes.bfloat16)
+        return out
+
+
 def flops_per_pixel(n_channels: int = 13, base: int = 64,
                     n_classes: int = 2) -> float:
     """BiDateNet conv FLOPs per scene pixel (MACs x 2), from the layer plan
@@ -117,6 +146,15 @@ def main(argv=None) -> int:
                          "(infer/fullconv.py) — no tiling, no seams, "
                          "every pixel gets its full receptive field; "
                          "0 = off")
+    ap.add_argument("--stream", action="store_true",
+                    help="with --fullconv: stream each halo-extended band "
+                         "from host memory instead of placing the scene "
+                         "in HBM (infer/fullconv.py streamed mode — "
+                         "device footprint one band, scene size bounded "
+                         "only by host storage).  NOTE: over the axon "
+                         "tunnel the per-band H2D upload dominates; on "
+                         "directly-attached TPUs the upload rides PCIe "
+                         "DMA and overlaps compute")
     ap.add_argument("--skip_sidecars", action="store_true",
                     help="measure only the requested config (skip the "
                          "int8 / train-step sidecar measurements) — for "
@@ -149,6 +187,10 @@ def main(argv=None) -> int:
                          "--fold_bn, no overlap/shard/band_rows (exact, "
                          "--quant int8, and the multi-date models all "
                          "compose)")
+    if args.stream and not (args.fullconv and args.mode == "device"
+                            and args.model == "bidate"):
+        raise SystemExit("--stream applies to the bi-date --fullconv "
+                         "device mode")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -229,7 +271,8 @@ def main(argv=None) -> int:
     # generate scenes on-device: an 8192^2 host float64 array would be 7 GB.
     # --shard_scene gets its scenes from put_scene_sharded instead — a dense
     # allocation here would defeat the mode's larger-than-one-HBM purpose.
-    if not (args.mode == "device" and args.shard_scene):
+    if not (args.mode == "device" and (args.shard_scene
+                                       or (args.fullconv and args.stream))):
         d1 = jax.random.normal(jax.random.PRNGKey(0), shape, dt)
         d2 = jax.random.normal(jax.random.PRNGKey(1), shape, dt)
 
@@ -246,32 +289,6 @@ def main(argv=None) -> int:
             # are generated host-side band-by-band (the production path
             # streams from a memmap) — a full fp32 host scene would be
             # 3.5 GB at 8192².
-            import ml_dtypes
-
-            class _LazyScene:
-                """ndarray-slicing lazy reader of synthetic bf16 bands."""
-
-                def __init__(self, shape, seed):
-                    self.shape = shape
-                    self._seed = seed
-
-                def __getitem__(self, idx):
-                    if not isinstance(idx, tuple):
-                        idx = (idx,)
-                    dims = []
-                    for d, size in enumerate(self.shape):
-                        sl = idx[d] if d < len(idx) else slice(None)
-                        dims.append(len(range(*sl.indices(size))))
-                    out = np.empty(dims, ml_dtypes.bfloat16)
-                    rng = np.random.RandomState(self._seed)
-                    row = int(np.prod(dims[1:])) or 1
-                    step = max(1, (1 << 25) // row)  # ~256 MB f64 chunks
-                    for i in range(0, dims[0], step):
-                        n = min(step, dims[0] - i)
-                        out[i:i + n] = rng.standard_normal(
-                            (n, *dims[1:])).astype(ml_dtypes.bfloat16)
-                    return out
-
             from fabric_tpu.infer.sharded_scene import (
                 make_sharded_scene_infer, put_scene_sharded)
             from fabric_tpu.parallel.mesh import make_mesh
@@ -288,6 +305,17 @@ def main(argv=None) -> int:
                 model, args.patch, (args.size, args.size),
                 batch_size=args.batch, overlap=args.overlap,
                 band_tile_rows=args.band_rows, dtype=dt)
+        elif args.fullconv and args.stream:
+            from fabric_tpu.infer.fullconv import (
+                make_fullconv_scene_infer_streamed)
+            run = make_fullconv_scene_infer_streamed(
+                model, (args.size, args.size), band_rows=args.fullconv,
+                dtype=dt)
+            d1 = _LazyScene(shape, 0)
+            d2 = _LazyScene(shape, 1)
+
+            def sync(mask):  # noqa: F811 — streamed returns a host array
+                return int(np.asarray(mask).sum())
         elif args.fullconv:
             from fabric_tpu.infer.fullconv import make_fullconv_scene_infer
             run = make_fullconv_scene_infer(
@@ -380,7 +408,7 @@ def main(argv=None) -> int:
             "patch": args.patch, "batch": args.batch,
             "overlap": args.overlap, "mode": args.mode,
             "shard_scene": args.shard_scene, "band_rows": args.band_rows,
-            "fullconv": args.fullconv,
+            "fullconv": args.fullconv, "stream": args.stream,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
             "split_up_concat": args.split_up_concat,

@@ -43,6 +43,13 @@ def main(argv=None) -> int:
                             "rows (infer/fullconv.py) — no tiling, no "
                             "seams, every pixel predicted once with its "
                             "full receptive field; 0 = off")
+    extra.add_argument("--fullconv_stream", action="store_true",
+                       help="with --fullconv_band_rows: stream each band "
+                            "from host memory instead of placing the "
+                            "scene in HBM — device footprint is one band "
+                            "regardless of scene size (single-chip "
+                            "serving of scenes bounded only by host "
+                            "storage)")
     extra.add_argument("--shard_scene", action="store_true",
                        help="distribute each scene as H-bands over the "
                             "mesh 'data' axis (per-device memory ~1/N; "
@@ -64,7 +71,7 @@ def main(argv=None) -> int:
     cfg = load_config(argv=rest)
     fast = (own.bundle is not None or own.quant == "int8"
             or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0
-            or own.shard_scene)
+            or own.fullconv_stream or own.shard_scene)
     if not cfg.resume and not own.bundle:
         print("error: --resume <checkpoint> is required "
               "(or --bundle for the serving path)", file=sys.stderr)
@@ -84,7 +91,8 @@ def main(argv=None) -> int:
                               bundle=own.bundle, quant=own.quant,
                               mesh=mesh, shard_scene=own.shard_scene,
                               overlap_band_rows=own.overlap_band_rows,
-                              fullconv_band_rows=own.fullconv_band_rows)
+                              fullconv_band_rows=own.fullconv_band_rows,
+                              fullconv_stream=own.fullconv_stream)
         predict_city = pred.predict_city
     else:
         # reference-shaped step runner (bit-exact tiling semantics)

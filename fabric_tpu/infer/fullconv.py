@@ -139,6 +139,250 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
     return run
 
 
+def make_fullconv_scene_infer_streamed(model, scene_shape: tuple[int, int],
+                                       band_rows: int = 1024,
+                                       halo: int = 128,
+                                       dtype=jnp.bfloat16,
+                                       max_in_flight: int = 2,
+                                       padded_shape: tuple[int, int]
+                                       | None = None):
+    """Host-streamed seamless inference: like
+    :func:`make_fullconv_scene_infer`, but the scene NEVER resides on the
+    device — each halo-extended band is sliced out of the host arrays
+    (plain ndarrays or ``np.memmap``), uploaded, run, and its kept rows
+    brought back into a host canvas.  Peak HBM is one band's activations
+    plus its context window, independent of scene size: on a 16 GB chip
+    the in-HBM path tops out around 16k² (two bf16 13-band scenes are
+    ~13 GB), while this path's device footprint at the 1024-row default
+    is ~0.6 GB regardless of H — scene size is bounded only by host
+    storage.
+
+    ``padded_shape``: virtually edge-pad the scene to these dims before
+    banding (rows/cols sliced past the true extent replicate the edge,
+    without materializing a padded copy) — pass the serving bucket dims
+    to make the streamed mask byte-identical to the in-HBM runner built
+    for the bucket-padded scene (ScenePredictor does).  Default: the
+    stride-aligned scene dims.  Bands lying entirely in the pad region
+    are skipped, not computed — padding costs only the partial last band.
+
+    The math is identical to the in-HBM path band for band — same edge
+    padding, same clamped 16-aligned context windows — so the result is
+    exactly the whole-scene forward (tests/test_fullconv.py pins streamed
+    == in-HBM == whole-scene).  Upload/compute overlap via JAX async
+    dispatch with at most ``max_in_flight`` bands outstanding (bounds the
+    number of live context buffers on device).
+
+    Returns ``run(variables, scene1, scene2, out=None) -> (H, W) uint8``
+    — ``scene1``/``scene2`` host (H, W, C) arrays; pass ``out`` (e.g. a
+    ``np.memmap``) to stream the mask to bounded host memory too.
+
+    Reference equivalent being replaced: none — the reference tiles on
+    the host and is bounded by host RAM (utils/inference.py:134-181);
+    this serves unbounded scenes seamlessly from disk on one chip.
+    """
+    from collections import deque
+
+    h, w = scene_shape
+    if band_rows % STRIDE or halo % STRIDE:
+        raise ValueError(f"band_rows and halo must be multiples of "
+                         f"{STRIDE} (got {band_rows}, {halo})")
+    if getattr(model, "local_upsample", True) is False:
+        raise ValueError("fullconv banding requires the shift-invariant "
+                         "decoder upsample: build the model with "
+                         "local_upsample=True")
+    if padded_shape is None:
+        hp, wp = _round_up(h, STRIDE), _round_up(w, STRIDE)
+    else:
+        if padded_shape[0] < h or padded_shape[1] < w:
+            raise ValueError(f"padded_shape {padded_shape} must cover "
+                             f"({h}, {w})")
+        # stride-round like the in-HBM runner does for its scene dims
+        hp, wp = (_round_up(padded_shape[0], STRIDE),
+                  _round_up(padded_shape[1], STRIDE))
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    ctx_h = min(hp, band_rows + 2 * halo)
+    n_uniform, tail = divmod(hp, band_rows) if ctx_h < hp else (0, 0)
+
+    def make_kernel(rows):
+        # one compiled forward per kept-rows count (uniform bands share
+        # one; the tail band gets its own); the crop offset is a traced
+        # scalar so edge-clamped windows reuse the same executable
+        @jax.jit
+        def kernel(variables, c1, c2, off):
+            logits = apply_fn(variables, c1[None], c2[None], train=False)
+            p = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1)[0, ..., 1]
+            return jax.lax.dynamic_slice(
+                (p > 0.5).astype(jnp.uint8), (off, 0), (rows, wp))
+        return kernel
+
+    kernels: dict[int, object] = {}
+
+    def host_ctx(scene, cs, rows_needed):
+        # rows [cs, cs+rows_needed) of the stride-aligned edge-padded
+        # scene, sliced straight off the host array (memmap-friendly:
+        # touches only this window); rows >= h replicate the last row and
+        # the W pad replicates the last column — identical to the in-HBM
+        # path's jnp.pad(mode="edge")
+        if cs + rows_needed <= h:
+            band = np.asarray(scene[cs:cs + rows_needed])
+        else:
+            idx = np.minimum(np.arange(cs, cs + rows_needed), h - 1)
+            band = np.asarray(scene[idx])
+        if wp != w:
+            band = np.pad(band, ((0, 0), (0, wp - w), (0, 0)), mode="edge")
+        return jnp.asarray(band.astype(dtype))
+
+    def run(variables, scene1, scene2, out=None):
+        canvas = out if out is not None else np.empty((h, w), np.uint8)
+        if canvas.shape[:2] != (h, w):
+            raise ValueError(f"out must be (h, w)=({h}, {w}), got "
+                             f"{canvas.shape}")
+
+        if ctx_h == hp:  # whole scene fits one window
+            c1 = host_ctx(scene1, 0, hp)
+            c2 = host_ctx(scene2, 0, hp)
+            kern = kernels.setdefault(hp, make_kernel(hp))
+            canvas[:, :] = np.asarray(
+                kern(variables, c1, c2, 0))[:h, :w]
+            return canvas
+
+        bands = [(i * band_rows, band_rows) for i in range(n_uniform)]
+        if tail:
+            bands.append((n_uniform * band_rows, tail))
+        # bands entirely inside the virtual pad region produce no kept
+        # rows — skip their forwards (the in-HBM runner on the padded
+        # scene computes and crops them; equality is unaffected)
+        bands = [(y0, rows) for (y0, rows) in bands if y0 < h]
+
+        pending: deque = deque()
+
+        def drain_one():
+            y0, rows, dev = pending.popleft()
+            m = np.asarray(dev)  # blocks until this band is done
+            keep = min(rows, h - y0)
+            canvas[y0:y0 + keep, :] = m[:keep, :w]
+
+        for y0, rows in bands:
+            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
+            c1 = host_ctx(scene1, cs, ctx_h)
+            c2 = host_ctx(scene2, cs, ctx_h)
+            kern = kernels.get(rows)
+            if kern is None:
+                kern = kernels[rows] = make_kernel(rows)
+            pending.append((y0, rows, kern(variables, c1, c2, y0 - cs)))
+            if len(pending) > max_in_flight:
+                drain_one()
+        while pending:
+            drain_one()
+        return canvas
+
+    return run
+
+
+def make_fullconv_scene_infer_multidate_streamed(
+        model, scene_shape: tuple[int, int], num_dates: int,
+        band_rows: int = 1024, halo: int = 128, dtype=jnp.bfloat16,
+        max_in_flight: int = 2,
+        padded_shape: tuple[int, int] | None = None):
+    """Host-streamed multi-date seamless inference: the (T, H, W, C) date
+    stack stays on the host (ndarray or ``np.memmap``); each
+    halo-extended band of every date is sliced, uploaded, and run through
+    the UNetLSTM / 3D U-Net fullconv path — the T-date analogue of
+    :func:`make_fullconv_scene_infer_streamed`, with the same exactness
+    guarantee (streamed == in-HBM == whole-scene forward) and the same
+    ``padded_shape`` virtual-bucket semantics.
+
+    Returns ``run(variables, scenes, out=None) -> (H, W) uint8``."""
+    from collections import deque
+
+    h, w = scene_shape
+    if band_rows % STRIDE or halo % STRIDE:
+        raise ValueError(f"band_rows and halo must be multiples of "
+                         f"{STRIDE} (got {band_rows}, {halo})")
+    if getattr(model, "local_upsample", True) is False:
+        raise ValueError("fullconv banding requires the shift-invariant "
+                         "decoder upsample: build the model with "
+                         "local_upsample=True")
+    if padded_shape is None:
+        hp, wp = _round_up(h, STRIDE), _round_up(w, STRIDE)
+    else:
+        if padded_shape[0] < h or padded_shape[1] < w:
+            raise ValueError(f"padded_shape {padded_shape} must cover "
+                             f"({h}, {w})")
+        # stride-round like the in-HBM runner does for its scene dims
+        hp, wp = (_round_up(padded_shape[0], STRIDE),
+                  _round_up(padded_shape[1], STRIDE))
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    ctx_h = min(hp, band_rows + 2 * halo)
+    n_uniform, tail = divmod(hp, band_rows) if ctx_h < hp else (0, 0)
+
+    def make_kernel(rows):
+        @jax.jit
+        def kernel(variables, c, off):
+            logits = apply_fn(variables, c[None], train=False)
+            p = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1)[0, ..., 1]
+            return jax.lax.dynamic_slice(
+                (p > 0.5).astype(jnp.uint8), (off, 0), (rows, wp))
+        return kernel
+
+    kernels: dict[int, object] = {}
+
+    def host_ctx(scenes, cs, rows_needed):
+        # (T, rows_needed, wp, C) window off the host stack, edge-padded
+        # exactly like the in-HBM path's jnp.pad(mode="edge")
+        if cs + rows_needed <= h:
+            band = np.asarray(scenes[:, cs:cs + rows_needed])
+        else:
+            idx = np.minimum(np.arange(cs, cs + rows_needed), h - 1)
+            band = np.asarray(scenes[:, idx])
+        if wp != w:
+            band = np.pad(band, ((0, 0), (0, 0), (0, wp - w), (0, 0)),
+                          mode="edge")
+        return jnp.asarray(band.astype(dtype))
+
+    def run(variables, scenes, out=None):
+        canvas = out if out is not None else np.empty((h, w), np.uint8)
+        if canvas.shape[:2] != (h, w):
+            raise ValueError(f"out must be (h, w)=({h}, {w}), got "
+                             f"{canvas.shape}")
+        if ctx_h == hp:
+            c = host_ctx(scenes, 0, hp)
+            kern = kernels.setdefault(hp, make_kernel(hp))
+            canvas[:, :] = np.asarray(kern(variables, c, 0))[:h, :w]
+            return canvas
+
+        bands = [(i * band_rows, band_rows) for i in range(n_uniform)]
+        if tail:
+            bands.append((n_uniform * band_rows, tail))
+        bands = [(y0, rows) for (y0, rows) in bands if y0 < h]
+        pending: deque = deque()
+
+        def drain_one():
+            y0, rows, dev = pending.popleft()
+            m = np.asarray(dev)
+            keep = min(rows, h - y0)
+            canvas[y0:y0 + keep, :] = m[:keep, :w]
+
+        for y0, rows in bands:
+            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
+            c = host_ctx(scenes, cs, ctx_h)
+            kern = kernels.get(rows)
+            if kern is None:
+                kern = kernels[rows] = make_kernel(rows)
+            pending.append((y0, rows, kern(variables, c, y0 - cs)))
+            if len(pending) > max_in_flight:
+                drain_one()
+        while pending:
+            drain_one()
+        return canvas
+
+    return run
+
+
 def make_sharded_fullconv_infer(model, scene_shape: tuple[int, int], mesh,
                                 band_rows: int = 1024, halo: int = 128,
                                 dtype=jnp.bfloat16):

@@ -79,6 +79,15 @@ class ScenePredictor:
         cfg.local_upsample).  Requires fold_bn; serves the bidate model
         (exact or int8) and the multi-date variants; mutually exclusive
         with overlap/shard_scene.  0 = off.
+      fullconv_stream: with fullconv_band_rows: stream each halo-extended
+        band from the HOST arrays (ndarray or np.memmap) instead of
+        placing the scene in HBM — device footprint is one band
+        regardless of scene size, so a single chip serves scenes bounded
+        only by host storage (infer/fullconv.py
+        make_fullconv_scene_infer_streamed; streamed == in-HBM pinned
+        exactly).  Bidate and multi-date models, single device (use
+        shard_scene for mesh-distributed scenes); masks can stream to an
+        ``out=`` memmap via the runner directly.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -94,7 +103,8 @@ class ScenePredictor:
                  shard_scene: bool = False, recalibrate_every: int = 0,
                  clip_warn_ratio: float = 1.0,
                  overlap_band_rows: int = 0,
-                 fullconv_band_rows: int = 0):
+                 fullconv_band_rows: int = 0,
+                 fullconv_stream: bool = False):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -109,6 +119,17 @@ class ScenePredictor:
         self.clip_warn_ratio = clip_warn_ratio
         self.overlap_band_rows = overlap_band_rows
         self.fullconv_band_rows = fullconv_band_rows
+        self.fullconv_stream = fullconv_stream
+        if fullconv_stream:
+            if not fullconv_band_rows:
+                raise ValueError("fullconv_stream streams the fullconv "
+                                 "bands from host memory — set "
+                                 "fullconv_band_rows too")
+            if shard_scene:
+                raise ValueError("fullconv_stream streams bands from "
+                                 "the host to ONE device (use "
+                                 "shard_scene for mesh-distributed "
+                                 "scenes)")
         if fullconv_band_rows:
             if ((mesh is not None and not shard_scene) or overlap_band_rows
                     or getattr(cfg, "infer_overlap", 0)
@@ -296,7 +317,19 @@ class ScenePredictor:
         key = (h, w)
         if key not in self._compiled:
             log.info("compiling scene runner for %dx%d", h, w)
-            if self.multi_date and self.fullconv_band_rows:
+            if (self.multi_date and self.fullconv_band_rows
+                    and self.fullconv_stream):
+                from fabric_tpu.infer.fullconv import (
+                    make_fullconv_scene_infer_multidate_streamed)
+                # virtual bucket pad: byte-identical masks to the in-HBM
+                # runner built for the bucket-padded scene
+                self._compiled[key] = (
+                    make_fullconv_scene_infer_multidate_streamed(
+                        self.model, (h, w), num_dates=self.cfg.num_dates,
+                        band_rows=self.fullconv_band_rows,
+                        dtype=self.dtype,
+                        padded_shape=self._bucket_dims(h, w)))
+            elif self.multi_date and self.fullconv_band_rows:
                 from fabric_tpu.infer.fullconv import (
                     make_fullconv_scene_infer_multidate)
                 self._compiled[key] = make_fullconv_scene_infer_multidate(
@@ -323,6 +356,15 @@ class ScenePredictor:
                 self._compiled[key] = make_sharded_scene_infer(
                     self.model, self.cfg.patch_size, (h, w), self.mesh,
                     batch_size=self.cfg.eval_batch_size, dtype=self.dtype)
+            elif self.fullconv_band_rows and self.fullconv_stream:
+                from fabric_tpu.infer.fullconv import (
+                    make_fullconv_scene_infer_streamed)
+                # virtual bucket pad: byte-identical masks to the in-HBM
+                # runner built for the bucket-padded scene
+                self._compiled[key] = make_fullconv_scene_infer_streamed(
+                    self.model, (h, w),
+                    band_rows=self.fullconv_band_rows, dtype=self.dtype,
+                    padded_shape=self._bucket_dims(h, w))
             elif self.fullconv_band_rows:
                 from fabric_tpu.infer.fullconv import (
                     make_fullconv_scene_infer)
@@ -393,6 +435,13 @@ class ScenePredictor:
                         report[site], len(report))
         self._scenes_predicted += 1
         h, w = d1.shape[:2]
+        if self.fullconv_stream:
+            # the streamed runner slices bands straight off the host
+            # arrays (memmap-friendly) and handles edge padding itself —
+            # no bucket padding (which would materialize a padded copy),
+            # no whole-scene upload
+            run = self._get_runner(h, w)
+            return run(self.variables, d1, d2)
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, ph - h), (0, pw - w), (0, 0)]
@@ -418,6 +467,9 @@ class ScenePredictor:
             raise ValueError("predict_multidate requires a multi-date "
                              "model (cfg.model unet_lstm/unet3d)")
         t, h, w = scenes.shape[:3]
+        if self.fullconv_stream:
+            run = self._get_runner(h, w)
+            return run(self.variables, scenes)
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]

@@ -109,6 +109,76 @@ def test_insufficient_halo_breaks_equality():
     assert (got != ref).any()
 
 
+@pytest.mark.parametrize("shape,band_rows", [
+    ((600, 100), 160),   # 3 uniform bands + a short tail band
+    ((300, 70), 1024),   # smaller than one band: single-forward path
+])
+def test_streamed_equals_in_hbm(shape, band_rows, tmp_path):
+    """Host-streamed banding (scene sliced from host memmaps, mask
+    streamed to an out= memmap) is exactly the in-HBM fullconv result
+    (and hence the whole-scene forward)."""
+    from fabric_tpu.infer.fullconv import make_fullconv_scene_infer_streamed
+    model, variables = _model_and_vars()
+    rng = np.random.RandomState(4)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    # scenes on disk, read back as memmaps — the streamed path touches
+    # only one band's window at a time
+    m1 = np.memmap(tmp_path / "d1.npy", np.float32, "w+",
+                   shape=d1.shape)
+    m2 = np.memmap(tmp_path / "d2.npy", np.float32, "w+",
+                   shape=d2.shape)
+    m1[:], m2[:] = d1, d2
+    out = np.memmap(tmp_path / "mask.npy", np.uint8, "w+", shape=shape)
+    run_s = make_fullconv_scene_infer_streamed(
+        model, shape, band_rows=band_rows, halo=128, dtype=jnp.float32)
+    got = run_s(variables, m1, m2, out=out)
+    assert got is out
+    ref = _direct_mask(model, variables, d1, d2)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # plain ndarrays and a fresh canvas work too
+    np.testing.assert_array_equal(run_s(variables, d1, d2), ref)
+
+
+def test_predictor_fullconv_stream():
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16,
+                          fullconv_band_rows=160)
+    pred_s = ScenePredictor(cfg, checkpoint=None, bucket=16,
+                            fullconv_band_rows=160, fullconv_stream=True)
+    # identical fresh-random weights for both predictors
+    pred_s.variables = jax.tree.map(lambda x: x, pred.variables)
+    rng = np.random.RandomState(5)
+    d1 = rng.randn(330, 60, 13).astype(np.float32)
+    d2 = rng.randn(330, 60, 13).astype(np.float32)
+    np.testing.assert_array_equal(pred_s.predict(d1, d2),
+                                  pred.predict(d1, d2))
+    with pytest.raises(ValueError, match="fullconv_stream"):
+        ScenePredictor(cfg, fullconv_stream=True)
+
+
+@pytest.mark.parametrize("kind", ["unet_lstm", "unet3d"])
+def test_multidate_streamed_equals_in_hbm(kind):
+    from fabric_tpu.infer.fullconv import (
+        make_fullconv_scene_infer_multidate,
+        make_fullconv_scene_infer_multidate_streamed)
+    model, variables = _multidate_model_and_vars(kind)
+    shape = (600, 100)
+    rng = np.random.RandomState(6)
+    scenes = rng.randn(3, *shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer_multidate(
+        model, shape, num_dates=3, band_rows=160, halo=128,
+        dtype=jnp.float32)
+    ref = np.asarray(run(variables, jnp.asarray(scenes)))
+    run_s = make_fullconv_scene_infer_multidate_streamed(
+        model, shape, num_dates=3, band_rows=160, halo=128,
+        dtype=jnp.float32)
+    np.testing.assert_array_equal(run_s(variables, scenes), ref)
+
+
 def test_align_corners_model_rejected():
     model, _ = _model_and_vars(local_upsample=False)
     with pytest.raises(ValueError, match="local_upsample"):
