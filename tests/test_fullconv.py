@@ -449,6 +449,26 @@ def test_int8_fullconv_banded_equals_whole():
         make_fullconv_scene_infer(apply_ac, shape, band_rows=160)
 
 
+def test_predictor_fullconv_int8_streamed():
+    """int8 composes with host streaming: the streamed quantized masks
+    equal the in-HBM quantized masks (identical self-calibration crops,
+    identical virtual bucket padding)."""
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16, quant="int8",
+                          fullconv_band_rows=160)
+    pred_s = ScenePredictor(cfg, checkpoint=None, bucket=16, quant="int8",
+                            fullconv_band_rows=160, fullconv_stream=True)
+    pred_s.variables = jax.tree.map(lambda x: x, pred.variables)
+    rng = np.random.RandomState(13)
+    d1 = rng.randn(640, 60, 13).astype(np.float32)
+    d2 = rng.randn(640, 60, 13).astype(np.float32)
+    np.testing.assert_array_equal(pred_s.predict(d1, d2),
+                                  pred.predict(d1, d2))
+
+
 def test_predictor_fullconv_int8():
     """ScenePredictor serves int8 through fullconv banding: first predict
     self-calibrates with the local-upsample taps, and the served mask
