@@ -521,7 +521,8 @@ def _bench_multidate(args) -> int:
 
 
 def _train_examples_per_sec(batch: int, patch: int, iters: int,
-                            dtype: str) -> tuple:
+                            dtype: str, model_name: str = "bidate",
+                            num_dates: int = 2) -> tuple:
     """-> (examples_per_sec, step_ms, compile_s) for a train step."""
     import jax
     import jax.numpy as jnp
@@ -531,21 +532,26 @@ def _train_examples_per_sec(batch: int, patch: int, iters: int,
     from fabric_tpu.train.state import create_state
     from fabric_tpu.train.steps import make_train_step
 
-    cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch)
+    cfg = Config(dtype=dtype, patch_size=patch, batch_size=batch,
+                 model=model_name, num_dates=num_dates)
     model = build_model(cfg)
     state = create_state(cfg, model)
     step = make_train_step(model, get_loss_fn(cfg))
 
     rng = np.random.RandomState(0)
     data = {
-        "img1": jnp.asarray(rng.randn(batch, patch, patch, 13),
-                            jnp.float32),
-        "img2": jnp.asarray(rng.randn(batch, patch, patch, 13),
-                            jnp.float32),
         "label": jnp.asarray(rng.randint(0, 2, (batch, patch, patch)),
                              jnp.int32),
         "weight": jnp.ones(batch, jnp.float32),
     }
+    if model_name == "bidate":
+        data["img1"] = jnp.asarray(rng.randn(batch, patch, patch, 13),
+                                   jnp.float32)
+        data["img2"] = jnp.asarray(rng.randn(batch, patch, patch, 13),
+                                   jnp.float32)
+    else:  # multi-date variants train on (N, T, ps, ps, C) stacks
+        data["imgs"] = jnp.asarray(
+            rng.randn(batch, num_dates, patch, patch, 13), jnp.float32)
 
     def sync(s):
         return np.asarray(jnp.sum(
@@ -570,21 +576,26 @@ def _bench_train(args) -> int:
 
     patch = args.patch
     eps, step_ms, compile_s = _train_examples_per_sec(
-        args.batch, patch, max(args.iters, 10), args.dtype)
+        args.batch, patch, max(args.iters, 10), args.dtype,
+        model_name=args.model, num_dates=args.num_dates)
     elapsed = step_ms / 1000
-    # fwd + bwd ~= 3x forward FLOPs (standard estimate)
-    mfu = eps * patch * patch * flops_per_pixel() * 3 / (
-        V5E_BF16_PEAK_TFLOPS * 1e12)
+    # fwd + bwd ~= 3x forward FLOPs (standard estimate; the MFU figure is
+    # bidate-specific — the variants' FLOP models differ)
+    mfu = (eps * patch * patch * flops_per_pixel() * 3 / (
+        V5E_BF16_PEAK_TFLOPS * 1e12)) if args.model == "bidate" else None
     result = {
-        "metric": "train_step_throughput",
+        "metric": ("train_step_throughput" if args.model == "bidate"
+                   else f"{args.model}_train_step_throughput"),
         "value": round(eps, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": None,
         "detail": {"patch": patch, "batch": args.batch, "dtype": args.dtype,
+                   "model": args.model, "num_dates": args.num_dates,
                    "iters": max(args.iters, 10),
                    "step_ms": round(elapsed * 1000, 2),
                    "compile_s": round(compile_s, 1),
-                   "mfu_vs_v5e_bf16_peak": round(mfu, 3),
+                   "mfu_vs_v5e_bf16_peak": (round(mfu, 3)
+                                            if mfu is not None else None),
                    "backend": jax.default_backend()},
     }
     print(json.dumps(result))

@@ -73,7 +73,10 @@ class ScenePredictor:
         (infer/fullconv.py): run the network directly over halo-extended
         bands of N pixel rows instead of tiling — every pixel predicted
         once with its full receptive field, zero tile seams, ~4x cheaper
-        than overlap-averaged stitching.  Uses the shift-invariant
+        than overlap-averaged stitching.  Larger bands amortize the halo
+        recompute; measured v5e optima at 8192²-wide scenes: 768 exact
+        bf16 (the largest that fits a 16 GB chip), 1024 for int8
+        (BASELINE.md fullconv rows).  Uses the shift-invariant
         decoder upsample (masks differ slightly from the tiled
         reference-parity modes unless the checkpoint was trained with
         cfg.local_upsample).  Requires fold_bn; serves the bidate model
