@@ -17,8 +17,13 @@ generous 35% cuDNN utilization gives ~3.3 TFLOP/s => ~2.4 Mpx/s per GPU,
 ignoring the reference's host-side tiling/stitching and per-batch transfer
 overheads (train.py:187-201).  vs_baseline = ours_per_chip / 2.4.
 
-Usage: python bench.py [--size 4096] [--patch 96] [--batch 64]
-                       [--iters 3] [--overlap 0] [--mode device|host]
+Usage: python bench.py [--size 8192] [--patch 64] [--batch 256]
+                       [--quant int8] [--workload infer|train]
+                       [--model bidate|unet_lstm|unet3d] [--overlap N]
+                       [--band_rows N] [--fullconv N [--stream]]
+                       [--shard_scene] [--mode device|host]
+(defaults measure the headline: 8192² grid-mode bf16 exact + int8/train
+sidecars; every serving mode above has a recorded figure in BASELINE.md)
 """
 
 from __future__ import annotations
