@@ -392,6 +392,38 @@ class ScenePredictor:
                     dtype=self.dtype, mesh=self.mesh)
         return self._compiled[key]
 
+    def _oom_advice(self) -> str:
+        """Mode-specific remedies for a device OOM during a scene run."""
+        if self.fullconv_band_rows and not self.fullconv_stream:
+            return ("reduce fullconv_band_rows (measured 16 GB-chip "
+                    "maxima at 8192²-wide scenes: 768 exact bf16, 1536 "
+                    "int8 — BASELINE.md), stream bands from the host "
+                    "(fullconv_stream=True: device footprint one band "
+                    "regardless of scene size), or distribute over a "
+                    "mesh (shard_scene=True)")
+        if self.overlap_band_rows or getattr(self.cfg, "infer_overlap", 0):
+            return ("reduce overlap_band_rows (bounded-memory overlap "
+                    "accumulation; 16 tile rows serves 10240² on a "
+                    "16 GB chip) or eval_batch_size")
+        return ("reduce eval_batch_size, shrink the bucket size, or — "
+                "for scenes beyond one chip's HBM — use shard_scene=True "
+                "(per-device memory ~1/N) or fullconv_band_rows with "
+                "fullconv_stream=True (device footprint one band)")
+
+    def _run_guarded(self, run, *args):
+        """Call a compiled scene runner; on device OOM re-raise with the
+        mode-specific sizing advice instead of a bare XLA error."""
+        try:
+            return run(self.variables, *args)
+        except Exception as e:  # noqa: BLE001 — inspect, advise, re-raise
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in
+                    msg.lower()):
+                raise MemoryError(
+                    f"device OOM while serving this scene: "
+                    f"{self._oom_advice()}") from e
+            raise
+
     def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
         """(H, W, C) scene pair -> (H, W) uint8 change mask."""
         if self.multi_date:
@@ -444,7 +476,7 @@ class ScenePredictor:
             # no bucket padding (which would materialize a padded copy),
             # no whole-scene upload
             run = self._get_runner(h, w)
-            return run(self.variables, d1, d2)
+            return self._run_guarded(run, d1, d2)
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, ph - h), (0, pw - w), (0, 0)]
@@ -460,7 +492,7 @@ class ScenePredictor:
         else:
             a1 = jnp.asarray(d1, self.dtype)
             a2 = jnp.asarray(d2, self.dtype)
-        mask = run(self.variables, a1, a2)
+        mask = self._run_guarded(run, a1, a2)
         return np.asarray(mask)[:h, :w]
 
     def predict_multidate(self, scenes: np.ndarray) -> np.ndarray:
@@ -472,13 +504,13 @@ class ScenePredictor:
         t, h, w = scenes.shape[:3]
         if self.fullconv_stream:
             run = self._get_runner(h, w)
-            return run(self.variables, scenes)
+            return self._run_guarded(run, scenes)
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
             scenes = np.pad(scenes, pads, mode="edge")
         run = self._get_runner(ph, pw)
-        mask = run(self.variables, jnp.asarray(scenes, self.dtype))
+        mask = self._run_guarded(run, jnp.asarray(scenes, self.dtype))
         return np.asarray(mask)[:h, :w]
 
     def predict_city(self, city: str) -> np.ndarray:

@@ -449,6 +449,32 @@ def test_int8_fullconv_banded_equals_whole():
         make_fullconv_scene_infer(apply_ac, shape, band_rows=160)
 
 
+def test_predictor_oom_guidance():
+    """A device OOM during a scene run surfaces mode-specific sizing
+    advice (band_rows / stream / shard) instead of a bare XLA error."""
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.service import ScenePredictor
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=16,
+                          fullconv_band_rows=160)
+
+    def fake_runner(variables, a1, a2):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory while "
+                           "trying to allocate 18350080000 bytes.")
+
+    pred._compiled[(48, 48)] = fake_runner
+    d = np.zeros((48, 48, 13), np.float32)
+    with pytest.raises(MemoryError, match="fullconv_band_rows"):
+        pred.predict(d, d)
+    # non-OOM errors pass through untouched
+    def fake_crash(variables, a1, a2):
+        raise RuntimeError("something else entirely")
+    pred._compiled[(48, 48)] = fake_crash
+    with pytest.raises(RuntimeError, match="something else"):
+        pred.predict(d, d)
+
+
 def test_predictor_fullconv_int8_streamed():
     """int8 composes with host streaming: the streamed quantized masks
     equal the in-HBM quantized masks (identical self-calibration crops,
