@@ -256,6 +256,17 @@ def make_fullconv_scene_infer_streamed(model, scene_shape: tuple[int, int],
         # scene computes and crops them; equality is unaffected)
         bands = [(y0, rows) for (y0, rows) in bands if y0 < h]
 
+        # host-side double buffering: slicing/casting a band's context
+        # out of the host arrays is hundreds of MB of memcpy — prefetch
+        # the next band's windows on a worker thread so it overlaps the
+        # device running the current band (dispatch itself is async)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def slice_ctx(y0):
+            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
+            return cs, host_ctx(scene1, cs, ctx_h), host_ctx(scene2, cs,
+                                                             ctx_h)
+
         pending: deque = deque()
 
         def drain_one():
@@ -264,16 +275,19 @@ def make_fullconv_scene_infer_streamed(model, scene_shape: tuple[int, int],
             keep = min(rows, h - y0)
             canvas[y0:y0 + keep, :] = m[:keep, :w]
 
-        for y0, rows in bands:
-            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
-            c1 = host_ctx(scene1, cs, ctx_h)
-            c2 = host_ctx(scene2, cs, ctx_h)
-            kern = kernels.get(rows)
-            if kern is None:
-                kern = kernels[rows] = make_kernel(rows)
-            pending.append((y0, rows, kern(variables, c1, c2, y0 - cs)))
-            if len(pending) > max_in_flight:
-                drain_one()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(slice_ctx, bands[0][0])
+            for i, (y0, rows) in enumerate(bands):
+                cs, c1, c2 = nxt.result()
+                if i + 1 < len(bands):
+                    nxt = pool.submit(slice_ctx, bands[i + 1][0])
+                kern = kernels.get(rows)
+                if kern is None:
+                    kern = kernels[rows] = make_kernel(rows)
+                pending.append((y0, rows,
+                                kern(variables, c1, c2, y0 - cs)))
+                if len(pending) > max_in_flight:
+                    drain_one()
         while pending:
             drain_one()
         return canvas
@@ -359,6 +373,14 @@ def make_fullconv_scene_infer_multidate_streamed(
         if tail:
             bands.append((n_uniform * band_rows, tail))
         bands = [(y0, rows) for (y0, rows) in bands if y0 < h]
+
+        # host-side double buffering (see the bidate streamed variant)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def slice_ctx(y0):
+            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
+            return cs, host_ctx(scenes, cs, ctx_h)
+
         pending: deque = deque()
 
         def drain_one():
@@ -367,15 +389,18 @@ def make_fullconv_scene_infer_multidate_streamed(
             keep = min(rows, h - y0)
             canvas[y0:y0 + keep, :] = m[:keep, :w]
 
-        for y0, rows in bands:
-            cs = int(np.clip(y0 - halo, 0, hp - ctx_h))
-            c = host_ctx(scenes, cs, ctx_h)
-            kern = kernels.get(rows)
-            if kern is None:
-                kern = kernels[rows] = make_kernel(rows)
-            pending.append((y0, rows, kern(variables, c, y0 - cs)))
-            if len(pending) > max_in_flight:
-                drain_one()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(slice_ctx, bands[0][0])
+            for i, (y0, rows) in enumerate(bands):
+                cs, c = nxt.result()
+                if i + 1 < len(bands):
+                    nxt = pool.submit(slice_ctx, bands[i + 1][0])
+                kern = kernels.get(rows)
+                if kern is None:
+                    kern = kernels[rows] = make_kernel(rows)
+                pending.append((y0, rows, kern(variables, c, y0 - cs)))
+                if len(pending) > max_in_flight:
+                    drain_one()
         while pending:
             drain_one()
         return canvas
