@@ -469,6 +469,14 @@ class ScenePredictor:
                         "headroom", self._scenes_predicted, site,
                         report[site], len(report))
         self._scenes_predicted += 1
+        mask, h, w = self._dispatch(d1, d2)
+        return np.asarray(mask)[:h, :w]
+
+    def _dispatch(self, d1, d2):
+        """Pad/upload/start one scene run WITHOUT waiting for the result:
+        returns ``(mask, h, w)`` where ``mask`` is a (possibly still
+        computing) device array (or a finished host array in streamed
+        mode).  ``np.asarray(mask)[:h, :w]`` completes it."""
         h, w = d1.shape[:2]
         if self.fullconv_stream:
             # the streamed runner slices bands straight off the host
@@ -476,7 +484,7 @@ class ScenePredictor:
             # no bucket padding (which would materialize a padded copy),
             # no whole-scene upload
             run = self._get_runner(h, w)
-            return self._run_guarded(run, d1, d2)
+            return self._run_guarded(run, d1, d2), h, w
         ph, pw = self._bucket_dims(h, w)
         if (ph, pw) != (h, w):
             pads = [(0, ph - h), (0, pw - w), (0, 0)]
@@ -492,8 +500,45 @@ class ScenePredictor:
         else:
             a1 = jnp.asarray(d1, self.dtype)
             a2 = jnp.asarray(d2, self.dtype)
-        mask = self._run_guarded(run, a1, a2)
-        return np.asarray(mask)[:h, :w]
+        return self._run_guarded(run, a1, a2), h, w
+
+    def predict_many(self, pairs, window: int = 2) -> list[np.ndarray]:
+        """Serve a sequence of ``(d1, d2)`` scene pairs with cross-scene
+        pipelining: up to ``window`` scenes stay in flight, so scene
+        n+1's host padding + upload + dispatch overlaps the device
+        computing scene n (JAX dispatch is async; only the drain at the
+        window boundary waits).  Equivalent to ``[predict(*p) for p in
+        pairs]`` bit-for-bit — mixed shapes are fine (each bucket keeps
+        its own compiled runner).
+
+        In int8 mode the per-scene calibration/clip probe synchronizes
+        before each dispatch, narrowing the overlap to the probe's cost;
+        exact bf16 serving pipelines fully.  The reference equivalent
+        (inference loop over validation cities, train.py:177-205) is
+        strictly sequential."""
+        from collections import deque
+
+        if self.multi_date:
+            raise ValueError("predict_many serves bi-date pairs; loop "
+                             "predict_multidate for the T-date variants")
+        results: list[np.ndarray] = []
+        pending: deque = deque()
+        for d1, d2 in pairs:
+            if self.quant == "int8":
+                # the calibration-cadence/clip-probe machinery in
+                # predict() synchronizes per scene anyway — serve int8
+                # sequentially through it
+                results.append(self.predict(d1, d2))
+                continue
+            self._scenes_predicted += 1
+            pending.append(self._dispatch(d1, d2))
+            while len(pending) >= max(window, 1) + 1:
+                m, h, w = pending.popleft()
+                results.append(np.asarray(m)[:h, :w])
+        while pending:
+            m, h, w = pending.popleft()
+            results.append(np.asarray(m)[:h, :w])
+        return results
 
     def predict_multidate(self, scenes: np.ndarray) -> np.ndarray:
         """(T, H, W, C) date stack -> (H, W) uint8 change mask (the

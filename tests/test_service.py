@@ -40,6 +40,36 @@ def test_bucket_compile_reuse(predictor):
     assert len(predictor._compiled) == n_before + 1
 
 
+def test_predict_many_matches_sequential(predictor):
+    """Cross-scene pipelined serving is bit-identical to sequential
+    predict() calls, including mixed scene shapes (separate buckets)."""
+    rng = np.random.RandomState(7)
+    pairs = []
+    for shape in [(45, 53), (30, 30), (45, 53), (64, 40)]:
+        pairs.append((rng.randn(*shape, 13).astype(np.float32),
+                      rng.randn(*shape, 13).astype(np.float32)))
+    seq = [predictor.predict(d1, d2) for d1, d2 in pairs]
+    piped = predictor.predict_many(pairs)
+    assert len(piped) == len(seq)
+    for a, b in zip(piped, seq):
+        np.testing.assert_array_equal(a, b)
+    # window=1 (drain immediately) also matches
+    for a, b in zip(predictor.predict_many(pairs, window=1), seq):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_predict_many_int8_falls_back_sequential():
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, checkpoint=None, bucket=32, quant="int8")
+    rng = np.random.RandomState(8)
+    pairs = [(rng.randn(33, 40, 13).astype(np.float32),
+              rng.randn(33, 40, 13).astype(np.float32)) for _ in range(2)]
+    out = pred.predict_many(pairs)
+    assert len(out) == 2 and all(m.shape == (33, 40) for m in out)
+    assert pred._scenes_predicted == 2
+
+
 def test_predict_city_with_checkpoint(tmp_path):
     from fabric_tpu import checkpoint as ckpt
     from fabric_tpu.models import build_model
