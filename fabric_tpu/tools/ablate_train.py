@@ -343,6 +343,150 @@ def microbench_space_to_depth(batch: int, patch: int, iters: int,
             "s2d_2x2_ms": round(timeit(s2d, x, w2), 3)}
 
 
+def microbench_int8_matmul(m: int, k: int, n: int, iters: int) -> dict:
+    """int8-MXU rate probe (r3): the v5e MXU is specced at ~2x the bf16
+    rate for s8 x s8 -> s32 (394 vs 197 TOPS), but isolated int8 CONVS
+    time identical to bf16 through XLA (BASELINE.md) — so the int8 serving
+    win is bandwidth-only today.  This times a pure matmul, the op XLA is
+    most likely to lower natively, in four forms: XLA bf16, XLA int8,
+    Pallas bf16, Pallas int8.  If either int8 form approaches 2x, the
+    quantized convs (infer/quant.py issues s8 x s8 -> s32 convs already)
+    can be re-expressed to capture it; if none does, the chip/toolchain
+    has no reachable int8 MXU rate and the bandwidth framing stands."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    xi = jnp.asarray(rng.randint(-127, 128, (m, k)), jnp.int8)
+    wi = jnp.asarray(rng.randint(-127, 128, (k, n)), jnp.int8)
+    xb = xi.astype(jnp.bfloat16)
+    wb = wi.astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    @jax.jit
+    def xla_dot(x, w):
+        acc = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
+        return jax.lax.dot_general(x, w, dn, preferred_element_type=acc)
+
+    def make_pallas(dtype, acc):
+        tm = 1024
+
+        def kernel(x_ref, w_ref, o_ref):
+            o_ref[:] = jax.lax.dot_general(
+                x_ref[:], w_ref[:], dn, preferred_element_type=acc)
+
+        @jax.jit
+        def run(x, w):
+            return pl.pallas_call(
+                kernel,
+                grid=(m // tm,),
+                in_specs=[
+                    pl.BlockSpec((tm, k), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, n), acc),
+            )(x, w)
+        return run
+
+    def timeit(fn, x, w):
+        y = fn(x, w)
+        _sync(y)
+        t0 = time.time()
+        for _ in range(iters):
+            y = fn(x, w)
+        _sync(y)
+        return (time.time() - t0) / iters * 1000
+
+    gflop = 2.0 * m * k * n / 1e9
+    out = {"microbench": "int8_matmul", "m": m, "k": k, "n": n,
+           "iters": iters, "gflop": round(gflop, 1)}
+    # correctness pin: integer matmul is exact, so XLA int8 == Pallas int8
+    ref = np.asarray(xla_dot(xi, wi))
+    for name, fn, x, w in (
+            ("xla_bf16", xla_dot, xb, wb),
+            ("xla_int8", xla_dot, xi, wi),
+            ("pallas_bf16", make_pallas(jnp.bfloat16, jnp.float32), xb, wb),
+            ("pallas_int8", make_pallas(jnp.int8, jnp.int32), xi, wi)):
+        try:
+            if name == "pallas_int8":
+                got = np.asarray(fn(xi, wi))
+                out["pallas_int8_exact"] = bool(np.array_equal(ref, got))
+            ms = timeit(fn, x, w)
+            out[f"{name}_ms"] = round(ms, 3)
+            out[f"{name}_tflops"] = round(gflop / ms, 1)
+        except Exception as e:  # noqa: BLE001 — record per-form failures
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def microbench_int8_shift_conv(batch: int, patch: int, iters: int,
+                               cin: int = 128, cout: int = 128) -> dict:
+    """Rung 2 of the int8-MXU ladder: a SAME 3x3 int8 conv re-expressed as
+    the sum of 9 shifted (N*H*W, Cin) @ (Cin, Cout) int8 matmuls — exact
+    integer math, bit-checked against the direct s8 conv.  If XLA's int8
+    DOT runs at the native MXU rate while its int8 CONV does not, this
+    form captures the 2x on the compute-bound encoder levels
+    (down1-down3: 128-512 channels at 32²-8², 80-100% MFU in bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    n, h = batch, patch
+    x = jnp.asarray(rng.randint(-127, 128, (n, h, h, cin)), jnp.int8)
+    w = jnp.asarray(rng.randint(-127, 128, (3, 3, cin, cout)), jnp.int8)
+    dn_conv = ("NHWC", "HWIO", "NHWC")
+    dn_dot = (((1,), (0,)), ((), ()))
+
+    @jax.jit
+    def direct(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn_conv,
+            preferred_element_type=jnp.int32)
+
+    @jax.jit
+    def shifted(x, w):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for u in range(3):
+            for v in range(3):
+                xs = jax.lax.slice(xp, (0, u, v, 0),
+                                   (n, u + h, v + h, cin))
+                y = jax.lax.dot_general(
+                    xs.reshape(-1, cin), w[u, v], dn_dot,
+                    preferred_element_type=jnp.int32)
+                acc = y if acc is None else acc + y
+        return acc.reshape(n, h, h, cout)
+
+    ref = np.asarray(direct(x, w))
+    got = np.asarray(shifted(x, w))
+
+    def timeit(fn):
+        y = fn(x, w)
+        _sync(y)
+        t0 = time.time()
+        for _ in range(iters):
+            y = fn(x, w)
+        _sync(y)
+        return (time.time() - t0) / iters * 1000
+
+    gflop = 2.0 * 9 * n * h * h * cin * cout / 1e9
+    d_ms, s_ms = timeit(direct), timeit(shifted)
+    return {"microbench": "int8_shift_conv", "batch": n, "patch": h,
+            "cin": cin, "cout": cout, "iters": iters,
+            "exact": bool(np.array_equal(ref, got)),
+            "gflop": round(gflop, 1),
+            "direct_conv_ms": round(d_ms, 3),
+            "direct_conv_tflops": round(gflop / d_ms, 1),
+            "shifted_dot_ms": round(s_ms, 3),
+            "shifted_dot_tflops": round(gflop / s_ms, 1)}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default=None,
@@ -352,7 +496,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stage", type=int, default=None)
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--microbench",
-                    choices=["group_conv", "space_to_depth"], default=None)
+                    choices=["group_conv", "space_to_depth", "int8_matmul",
+                             "int8_shift_conv"], default=None)
+    ap.add_argument("--m", type=int, default=131072)
+    ap.add_argument("--k", type=int, default=512)
+    ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=10)
@@ -369,7 +517,13 @@ def main(argv=None) -> int:
         ap.error("--xla_opt applies to --variant runs only")
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-    if args.microbench == "group_conv":
+    if args.microbench == "int8_matmul":
+        print(json.dumps(microbench_int8_matmul(
+            args.m, args.k, args.n, args.iters)))
+    elif args.microbench == "int8_shift_conv":
+        print(json.dumps(microbench_int8_shift_conv(
+            args.batch, args.patch, args.iters, args.cin, args.cout)))
+    elif args.microbench == "group_conv":
         print(json.dumps(microbench_group_conv(
             args.batch, args.patch, args.iters, args.dtype)))
     elif args.microbench == "space_to_depth":

@@ -30,6 +30,18 @@ def test_stage_grad_and_microbench_smoke():
     assert rec["batched_2n_c64_ms"] > 0 and rec["grouped_n_c128_ms"] > 0
 
 
+def test_int8_microbenches_exact():
+    from fabric_tpu.tools.ablate_train import (
+        microbench_int8_matmul, microbench_int8_shift_conv)
+    rec = microbench_int8_matmul(1024, 256, 256, 1)
+    # XLA forms run everywhere; Pallas forms need a TPU (error recorded)
+    assert rec["xla_int8_ms"] > 0 and rec["xla_bf16_ms"] > 0
+    rec = microbench_int8_shift_conv(2, 16, 1, 32, 32)
+    # integer math: the 9-shifted-matmul form must be bit-identical
+    assert rec["exact"] is True
+    assert rec["direct_conv_ms"] > 0 and rec["shifted_dot_ms"] > 0
+
+
 def test_time_variant_reports():
     rec = time_variant("fwd", 2, 16, 1, "float32")
     assert rec["variant"] == "fwd" and rec["examples_per_sec"] > 0
