@@ -20,7 +20,12 @@ def main(argv=None) -> int:
                         format="%(asctime)s %(name)s %(message)s")
     maybe_initialize()  # no-op on single-host; pods auto-discover topology
     cfg = load_config(argv=sys.argv[1:] if argv is None else argv)
-    train(cfg)
+    _, history = train(cfg)
+    if history.get("status") == "preempted":
+        # clean exit: the mid-epoch checkpoint is on disk; rerunning this
+        # command with --resume <weight_dir> completes the run exactly
+        logging.getLogger("fabric_tpu").warning(
+            "run preempted — relaunch with --resume %s", cfg.weight_dir)
     return 0
 
 

@@ -116,6 +116,11 @@ class Config:
     mesh_model: int = 1
     resume: str = ""  # checkpoint path or directory to resume from ("" = fresh)
     checkpoint_every: int = 0  # extra step-based checkpointing (0 = best-metric only)
+    # Graceful preemption: latch SIGTERM (TPU maintenance/preemption notice),
+    # checkpoint mid-epoch at the next step boundary, exit cleanly with
+    # status "preempted"; relaunching with resume= completes the run exactly
+    # (train/preemption.py).  The reference dies uncheckpointed.
+    handle_preemption: bool = True
     prefetch: int = 2  # device prefetch depth for the input pipeline
     use_pallas: bool = False  # route fused ops through Pallas kernels
     remat: bool = False  # rematerialize U-Net stages (memory vs FLOPs)

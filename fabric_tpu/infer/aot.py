@@ -1,0 +1,133 @@
+"""Ahead-of-time serving artifacts: serialized scene runners via jax.export.
+
+A serving bundle (tools/export.py) removes training-side work from server
+start, but the server still pays Python model construction + tracing +
+XLA lowering for every scene bucket on first use.  This module freezes a
+predictor's compiled scene runner into a portable StableHLO artifact:
+
+- ``export_runners(predictor, shapes, platforms)`` traces + lowers the
+  runner once per scene bucket — including **cross-platform**: a CPU dev
+  machine can emit TPU artifacts (``platforms=("tpu",)``) with no TPU
+  attached, because jax.export lowers through StableHLO without a backend.
+- ``save_aot`` / ``load_aot`` persist them next to the bundle.
+- ``ScenePredictor(..., aot_dir=...)`` then serves from the artifact:
+  no model code, no tracing, no Python-side lowering at serving time —
+  the device just compiles the shipped StableHLO (and the persistent
+  compilation cache makes restarts near-instant).
+
+The artifact pins the exact exported math: masks are bit-identical to the
+in-process jit path (asserted in tests/test_aot.py).  Scope: the pure-jit
+serving modes (grid / overlap / banded overlap / in-HBM fullconv, incl.
+int8).  Host-streamed and mesh-sharded modes stay in-process — their
+runners do host work per band that has no StableHLO form.
+
+The reference has no deployment artifact at all (it pickles the live torch
+module mid-training, /root/reference/train.py:222).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger("fabric_tpu")
+
+_META = "aot_meta.json"
+
+
+def _runner_name(h: int, w: int) -> str:
+    return f"runner_{h}x{w}.jaxexp"
+
+
+def export_scene_runner(run, variables, scene_shape, n_channels: int,
+                        dtype, platforms=("tpu",),
+                        num_dates: int = 0) -> bytes:
+    """Serialize one ``(variables, scene1, scene2) -> mask`` runner.
+
+    ``run`` must be pure jit (no host callbacks); ``scene_shape`` is the
+    (already bucket-padded) (H, W).  ``num_dates > 0`` exports the
+    multi-date signature ``(variables, (T, H, W, C) stack) -> mask``.
+    """
+    import jax
+    from jax import export as jexport
+
+    h, w = scene_shape
+    if not hasattr(run, "lower"):  # plain python wrapper around jit calls
+        run = jax.jit(run)
+    var_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        variables)
+    if num_dates:
+        args = (var_spec,
+                jax.ShapeDtypeStruct((num_dates, h, w, n_channels), dtype))
+    else:
+        scene = jax.ShapeDtypeStruct((h, w, n_channels), dtype)
+        args = (var_spec, scene, scene)
+    exported = jexport.export(run, platforms=list(platforms))(*args)
+    return exported.serialize()
+
+
+def load_serialized_runner(data: bytes):
+    """bytes -> a ``(variables, *scenes) -> mask`` callable."""
+    from jax import export as jexport
+    exported = jexport.deserialize(bytearray(data))
+
+    def run(variables, *scenes):
+        return exported.call(variables, *scenes)
+
+    return run
+
+
+def save_aot(directory: str, runners: dict, meta: dict) -> None:
+    """Write ``runner_HxW.jaxexp`` files + a meta sidecar."""
+    os.makedirs(directory, exist_ok=True)
+    for (h, w), blob in runners.items():
+        path = os.path.join(directory, _runner_name(h, w))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    meta = dict(meta)
+    meta["shapes"] = sorted([list(k) for k in runners])
+    with open(os.path.join(directory, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_aot(directory: str, h: int, w: int):
+    """Load the artifact for bucket (h, w); None when absent."""
+    path = os.path.join(directory, _runner_name(h, w))
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    log.info("serving %dx%d from AOT artifact %s", h, w, path)
+    return load_serialized_runner(data)
+
+
+def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
+    """Export a predictor's runner for each scene shape (pre-bucket dims;
+    artifacts are keyed by the padded bucket dims, exactly as the
+    predictor will look them up).  Returns {(H, W): bytes}."""
+    if predictor.fullconv_stream or predictor.shard_scene \
+            or predictor.mesh is not None:
+        raise ValueError(
+            "AOT export covers the single-device pure-jit serving modes; "
+            "streamed/sharded runners do per-band host work and must stay "
+            "in-process")
+    out = {}
+    for h, w in scene_shapes:
+        ph, pw = predictor._bucket_dims(h, w)
+        if (ph, pw) in out:
+            continue
+        run = predictor._get_runner(ph, pw)
+        out[(ph, pw)] = export_scene_runner(
+            run, predictor.variables, (ph, pw),
+            predictor.cfg.n_channels, predictor.dtype, platforms,
+            num_dates=(predictor.cfg.num_dates if predictor.multi_date
+                       else 0))
+        log.info("exported %dx%d runner (%d KiB, platforms=%s)",
+                 ph, pw, len(out[(ph, pw)]) // 1024, list(platforms))
+    return out

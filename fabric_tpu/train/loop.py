@@ -237,13 +237,21 @@ def improved(mean_val: dict, best: dict) -> bool:
 
 def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
           run_scene_inference: bool = True, init_variables: dict | None = None,
-          metadata: tuple[list, list] | None = None):
+          metadata: tuple[list, list] | None = None,
+          preemption_guard=None):
     """Run the full training driver; returns (state, history dict).
 
     ``init_variables`` warm-starts from an existing {params, batch_stats}
     tree; ``metadata`` overrides the (train, val) patch lists (entries are
     (city, x, y)) — both used by the loop-parity oracle to pin the exact
-    starting point and sample order of the reference script."""
+    starting point and sample order of the reference script.
+
+    ``preemption_guard`` injects a pre-built
+    :class:`fabric_tpu.train.preemption.PreemptionGuard` (tests, external
+    notice channels); with ``cfg.handle_preemption`` (the default) one is
+    installed on SIGTERM for the duration of the run — a preempted run
+    checkpoints mid-epoch, returns with ``history["status"]=="preempted"``,
+    and resumes exactly (see train/preemption.py)."""
     if dataset is None:
         # resolve before log_params so the recorded config matches what is
         # actually read (archives may nest the dataset one level down)
@@ -339,7 +347,60 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     if cfg.profile_dir and primary:
         profiler = _ProfileCapture(cfg.profile_dir, cfg.profile_steps)
 
+    from fabric_tpu.train.preemption import PreemptionGuard, TrainingPreempted
+    guard, owned_guard = preemption_guard, False
+    if guard is None and getattr(cfg, "handle_preemption", True):
+        guard = PreemptionGuard()
+        owned_guard = guard.install()  # False off the main thread: latch-only
+        log.info("preemption guard: SIGTERM handler %s",
+                 "installed" if owned_guard else
+                 "NOT installed (not the main thread); latch-only")
+
+    try:
+        state = _run_epochs(
+            cfg, state, data, train_md, val_md, shardings, mesh, tracker,
+            train_step, eval_step, infer_step, prob_step, best, history,
+            start_epoch, resume_skip, resume_rows, profiler, guard,
+            run_scene_inference, pidx, pcount, multi_date)
+    except TrainingPreempted as e:
+        # the preemption checkpoint is already on disk (primary); report a
+        # clean, resumable exit instead of propagating the unwind
+        tracker.set_status("preempted")
+        history["status"] = "preempted"
+        log.warning("training preempted: resume with resume=%s to complete "
+                    "the run exactly", cfg.weight_dir)
+        return (e.state if e.state is not None else state), history
+    finally:
+        if owned_guard:
+            guard.uninstall()
+
+    tracker.set_status("complete")
+    history["status"] = "complete"
+    return state, history
+
+
+def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
+                train_step, eval_step, infer_step, prob_step, best, history,
+                start_epoch, resume_skip, resume_rows, profiler, guard,
+                run_scene_inference, pidx, pcount, multi_date):
+    """The epoch loop body of :func:`train` (split out so the preemption
+    unwind path stays readable)."""
+    import jax
+    from fabric_tpu.train.preemption import TrainingPreempted
+    from fabric_tpu.parallel.distributed import is_primary
+    primary = is_primary()
+
     for epoch in range(start_epoch, cfg.epochs):
+        if guard is not None and guard.requested:
+            # signal landed between epochs (val / scene inference): the
+            # state IS an epoch boundary, so save it as a zero-progress
+            # periodic checkpoint of the previous epoch — resume then
+            # starts this epoch from its exact top
+            if primary and epoch > 0:
+                ckpt.save(state, cfg.weight_dir, epoch - 1, tag="periodic",
+                          metadata={"periodic": True, "batches_done": 0,
+                                    "best_metrics": dict(best)})
+            raise TrainingPreempted(state)
         t0 = time.time()
         train_acc, val_acc = MetricAccumulator(), MetricAccumulator()
         skip, replay_rows = (resume_skip, resume_rows) if resume_skip else \
@@ -363,18 +424,22 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
             size=cfg.prefetch, sharding=shardings)
 
         callbacks = []
-        if cfg.checkpoint_every > 0 and primary:
+        if primary and (cfg.checkpoint_every > 0 or guard is not None):
             # periodic step-based checkpointing (fault tolerance: resume
             # loses at most checkpoint_every steps; the reference could
             # only restart from scratch — SURVEY.md §5).  The sidecar
             # carries epoch progress + the epoch's stat rows so far + the
-            # best dict, for exact mid-epoch resume.
+            # best dict, for exact mid-epoch resume.  A latched preemption
+            # forces the same save at the very next step boundary, then
+            # unwinds — that one sidecar is the whole graceful-exit story.
             epoch_rows = list(replay_rows)
 
             def _periodic(s, stats, _epoch=epoch, _rows=epoch_rows):
                 # stats scalars stay on device until a save syncs them
                 _rows.append(stats)
-                if int(s.step) % cfg.checkpoint_every == 0:
+                preempt = guard is not None and guard.requested
+                if preempt or (cfg.checkpoint_every > 0 and
+                               int(s.step) % cfg.checkpoint_every == 0):
                     host_rows = [r if isinstance(r, list) else
                                  [float(r[k]) for k in _STAT_KEYS]
                                  for r in _rows]
@@ -397,7 +462,16 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                                         "batches_done": len(_rows),
                                         "train_rows": host_rows,
                                         "best_metrics": dict(best)})
+                    if preempt:
+                        raise TrainingPreempted(s)
             callbacks.append(_periodic)
+        elif guard is not None:
+            # non-primary processes write nothing; they just unwind at the
+            # same boundary so the whole job exits within the grace window
+            def _preempt_check(s, stats):
+                if guard.requested:
+                    raise TrainingPreempted(s)
+            callbacks.append(_preempt_check)
         if profiler is not None:
             callbacks.append(profiler.on_step)
         on_step = None
@@ -502,5 +576,4 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
                              "epoch_seconds": time.time() - t0}, step=epoch)
         tracker.set_status("running")
 
-    tracker.set_status("complete")
-    return state, history
+    return state
