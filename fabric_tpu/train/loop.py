@@ -395,8 +395,15 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
             # signal landed between epochs (val / scene inference): the
             # state IS an epoch boundary, so save it as a zero-progress
             # periodic checkpoint of the previous epoch — resume then
-            # starts this epoch from its exact top
-            if primary and epoch > 0:
+            # starts this epoch from its exact top.  EXCEPT while a
+            # mid-epoch resume is still pending (resume_skip unconsumed):
+            # the state is already resume_skip batches INTO this epoch,
+            # and saving it as a zero-progress epoch-1 checkpoint would
+            # make the next resume replay those batches onto weights
+            # that already trained on them — the on-disk mid-epoch
+            # checkpoint we restored from is the correct resume point,
+            # so just unwind.
+            if primary and epoch > 0 and not resume_skip:
                 ckpt.save(state, cfg.weight_dir, epoch - 1, tag="periodic",
                           metadata={"periodic": True, "batches_done": 0,
                                     "best_metrics": dict(best)})

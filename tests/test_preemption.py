@@ -122,6 +122,73 @@ def test_guard_latches_real_sigterm_and_restores_handler():
     guard.uninstall()
 
 
+def test_preempt_during_pending_midepoch_resume_keeps_resume_point(
+        dataset_root, monkeypatch):
+    """A latch already set when a MID-EPOCH resume starts must unwind
+    without saving: the state at the loop-top check is resume_skip batches
+    into the epoch, and a zero-progress epoch-1 periodic save there would
+    make the next resume replay those batches onto weights that already
+    trained on them (advisor r3 finding, train/loop.py loop-top guard)."""
+    import json
+
+    import fabric_tpu.checkpoint as ckpt
+    root = dataset_root
+
+    # uninterrupted reference trajectory
+    cfg_a = _cfg(root, weights="w_mid_full", logs="l_mid_full")
+    state_a, _ = loop_mod.train(cfg_a, run_scene_inference=False)
+
+    # run 1: preempt mid-epoch -> periodic_epoch_1 with batches_done > 0
+    guard = PreemptionGuard()
+    real_make = loop_mod.make_train_step
+
+    def _latching_make(model, loss_fn):
+        step = real_make(model, loss_fn)
+
+        def wrapped(state, batch):
+            if int(state.step) >= PREEMPT_AT:
+                guard.request()
+            return step(state, batch)
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, "make_train_step", _latching_make)
+    cfg_b = _cfg(root, weights="w_mid", logs="l_mid")
+    loop_mod.train(cfg_b, run_scene_inference=False, preemption_guard=guard)
+    monkeypatch.setattr(loop_mod, "make_train_step", real_make)
+
+    latest_before = ckpt.latest_checkpoint(cfg_b.weight_dir)
+    assert latest_before is not None and "periodic_epoch_1" in latest_before
+    meta_before = json.load(open(os.path.join(
+        cfg_b.weight_dir, "metadata_periodic_epoch_1.json")))
+    assert meta_before["batches_done"] > 0
+
+    # run 2: resume with the latch ALREADY set -> must unwind WITHOUT
+    # clobbering the mid-epoch checkpoint or the latest pointer
+    guard2 = PreemptionGuard()
+    guard2.request()
+    cfg_c = _cfg(root, weights="w_mid", logs="l_mid2",
+                 resume=str(root / "w_mid"))
+    _, hist_c = loop_mod.train(cfg_c, run_scene_inference=False,
+                               preemption_guard=guard2)
+    assert hist_c.get("status") == "preempted"
+    latest_after = ckpt.latest_checkpoint(cfg_b.weight_dir)
+    assert latest_after == latest_before
+    meta_after = json.load(open(os.path.join(
+        cfg_b.weight_dir, "metadata_periodic_epoch_1.json")))
+    assert meta_after == meta_before
+
+    # run 3: a clean resume still reproduces the uninterrupted run exactly
+    cfg_d = _cfg(root, weights="w_mid", logs="l_mid3",
+                 resume=str(root / "w_mid"))
+    state_d, hist_d = loop_mod.train(cfg_d, run_scene_inference=False)
+    assert hist_d.get("status") == "complete"
+    assert int(state_d.step) == int(state_a.step)
+    import jax
+    for a, d in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_d.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(d))
+
+
 def test_preempt_before_first_step_exits_cleanly(dataset_root):
     """A latch already set when training starts unwinds at the first epoch
     boundary without writing a bogus checkpoint."""
