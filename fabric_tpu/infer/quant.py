@@ -1,24 +1,38 @@
 """Int8 post-training-quantized whole-scene inference (serving fast path).
 
-The v5e MXU runs s8 x s8 -> s32 at ~2x the bf16 rate (394 vs 197 TOPS), and
-int8 activations halve HBM traffic, which is what bounds the full-resolution
-64-channel U-Net layers (~288 FLOP/B at bf16, right at the v5e roofline
-ridge).  This module quantizes the BN-folded eval forward
-(ops/fold_bn.py) post-training:
+The win is BANDWIDTH, not MXU rate: int8 tensors halve the HBM bytes of
+every encoder-resident activation, which is what bounds the
+full-resolution 64-channel U-Net layers (~288 FLOP/B at bf16, right at
+the v5e roofline ridge) — measured +47% scene throughput over exact bf16
+(BASELINE.md).  The spec-sheet 2x int8 MXU rate (394 vs 197 TOPS) is NOT
+the mechanism and is unreachable through every available lowering on this
+chip — XLA dot +6%, XLA conv parity, no native int8 Pallas/Mosaic pass,
+shifted-matmul conv slower (r3 probe, BASELINE.md "int8-MXU rate probe";
+reproduce with tools/ablate_train.py --microbench int8_matmul).  This
+module quantizes the BN-folded eval forward (ops/fold_bn.py)
+post-training:
 
 - **Weights**: symmetric per-output-channel int8 (scale = absmax/127 over
-  the (3, 3, Cin) fan-in), computed once from the folded fp32 kernels.
+  the fan-in), computed once from the folded fp32 kernels.
 - **Activations**: symmetric per-tensor int8 with STATIC scales calibrated
-  offline (:func:`calibrate` runs the bf16 forward over calibration batches
+  offline (:func:`calibrate` runs the exact forward over calibration batches
   and records each conv input's absmax) so the serving graph contains no
   data-dependent reductions.
 - **Encoder tensors are int8-resident end-to-end**: max-pool commutes with
   symmetric quantization exactly (max is monotone), and the Siamese
   multiplicative-ReLU fusion runs on the int8 values in int32 with a
   squared-scale dequant — so every encoder activation crosses HBM at half
-  the bf16 bytes.  The decoder (align-corners resize, concat) stays in
-  bf16 with int8 conv inputs; XLA fuses the quantize/dequantize chains
-  into the conv epilogues.
+  the bf16 bytes.  The decoder (resize, concat) stays in bf16 with int8
+  conv inputs; XLA fuses the quantize/dequantize chains into the conv
+  epilogues.
+
+The whole model zoo serves quantized (``model=`` dispatch below): the
+bi-date net here, the multi-date variants in
+:mod:`fabric_tpu.infer.quant_multidate` — the ConvLSTM gates and 3D convs
+quantize the same way (symmetric per-channel weights, static per-tensor
+activation scales), and the temporal max/mean collapses commute with
+symmetric quantization like max-pool does (max exactly; mean as an exact
+int32 sum dequantized by scale/T).
 
 This is an OPT-IN serving mode (``bench.py --quant int8``); the default
 eval/bench path remains exact bf16.  It replaces nothing in the reference
@@ -27,19 +41,23 @@ TPU-native answer to "large scale inference will be slower on other
 configurations" (reference README.md:11).
 
 Accuracy: tests/test_quant.py checks mask agreement and probability error
-of the int8 path against the exact bf16 forward on a trained model.
+of the int8 path against the exact bf16 forward on trained models (every
+model family).
 """
 
 from __future__ import annotations
 
+from types import SimpleNamespace
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# conv sites in forward order; each entry is the params-tree path of the
-# nn.Conv whose input gets an activation scale
+# bi-date conv sites in forward order; each entry is the params-tree path
+# of the nn.Conv whose input gets an activation scale.  Kept as the
+# historical explicit table (tests assert the derived table matches it);
+# the other families derive theirs from the param tree.
 _SITES = (
     ("inc.conv1", ("inc", "conv1")),
     ("inc.conv2", ("inc", "conv2")),
@@ -61,6 +79,11 @@ _SITES = (
     ("up4.conv2", ("up4", "conv", "conv2")),
 )
 _DN = ("NHWC", "HWIO", "NHWC")
+_DN3 = ("NDHWC", "DHWIO", "NDHWC")
+
+#: model-name -> quantized/stats forward factory; the multi-date entries
+#: are filled in lazily by :func:`_forward_factory` (import cycle).
+_FAMILIES = ("bidate", "unet_lstm", "unet3d")
 
 
 def _get(tree, path):
@@ -69,40 +92,180 @@ def _get(tree, path):
     return tree
 
 
+def derive_conv_sites(folded_params) -> list[tuple[str, tuple]]:
+    """[(name, path)] for every quantizable conv site of a BN-folded tree.
+
+    Model-agnostic (r3 VERDICT #1): any leaf dict holding a conv
+    ``kernel`` is a site; generic ``conv`` wrapper levels are elided from
+    the dotted name (``down1.conv.conv1`` -> ``down1.conv1``, matching the
+    historical bi-date table, and giving UNet3D's ``down1/conv1`` the SAME
+    site names); the 1x1 output head (``outc``) stays fp32 (negligible
+    FLOPs, feeds an argmax)."""
+    sites: list[tuple[str, tuple]] = []
+
+    def walk(tree, path: tuple, names: tuple):
+        if isinstance(tree, dict) and "kernel" in tree:
+            if names[0] != "outc":
+                sites.append((".".join(n for n in names if n != "conv"),
+                              path))
+            return
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,), names + (k,))
+
+    walk(folded_params, (), ())
+    return sites
+
+
 def _quantize_kernel(k: np.ndarray) -> dict:
-    sw = np.max(np.abs(k), axis=(0, 1, 2)) / 127.0
+    """Symmetric per-output-channel int8 for a conv kernel of any spatial
+    rank ((kh, kw, cin, cout) or (kd, kh, kw, cin, cout))."""
+    sw = np.max(np.abs(k), axis=tuple(range(k.ndim - 1))) / 127.0
     sw = np.maximum(sw, 1e-12)
     wq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
     return {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw)}
 
 
 def quantize_weights(folded_params) -> dict:
-    """Per-output-channel symmetric int8 weights from BN-folded fp32 kernels.
+    """Per-output-channel symmetric int8 weights from BN-folded fp32
+    kernels, for any model family (sites derived from the tree).
 
-    Returns {site: {"wq": int8 (3,3,Cin,Cout), "sw": f32 (Cout,),
-    "bias": f32 (Cout,)}}.  Each decoder ``upK.conv1`` additionally gets
+    Returns {site: {"wq": int8 kernel, "sw": f32 (Cout,), "bias": f32
+    (Cout,)}}.  Each decoder ``upK.conv1`` additionally gets
     ``.skip``/``.up`` entries: the kernel split at the concat boundary
     (cin//2), each half quantized with its OWN per-channel scales — the
     split-conv decoder (conv is linear in input channels) never
     materializes the concat and keeps the skip operand int8-resident.
-    The 1x1 output head stays fp32 (negligible FLOPs, feeds an argmax)."""
+    The UNetLSTM gate conv likewise splits into ``.x``/``.h`` at its
+    [bottleneck | hidden] concat boundary.  The 1x1 output head stays
+    fp32."""
     out = {}
-    for name, path in _SITES:
+    for name, path in derive_conv_sites(folded_params):
         p = _get(folded_params, path)
         k = np.asarray(p["kernel"], np.float32)
         out[name] = dict(_quantize_kernel(k),
                          bias=jnp.asarray(p["bias"], jnp.float32))
-        if name.startswith("up") and name.endswith("conv1"):
-            cs = k.shape[2] // 2  # [skip | upsampled], equal halves
-            out[name + ".skip"] = _quantize_kernel(k[:, :, :cs])
-            out[name + ".up"] = _quantize_kernel(k[:, :, cs:])
+        if ((name.startswith("up") and name.endswith("conv1"))
+                or name == "bottleneck_lstm.gates"):
+            cs = k.shape[-2] // 2  # equal halves in every family
+            a, b = (".skip", ".up") if name.startswith("up") else (".x", ".h")
+            out[name + a] = _quantize_kernel(k[..., :cs, :])
+            out[name + b] = _quantize_kernel(k[..., cs:, :])
     return out
+
+
+def make_helpers(folded_params, qweights: Optional[dict],
+                 act_scales: Optional[dict], dtype=jnp.bfloat16,
+                 sites: Optional[dict] = None, dn=_DN, upsample2x=None):
+    """The quantization building blocks shared by every model family's
+    forward (bi-date here, UNetLSTM/UNet3D in quant_multidate.py).
+
+    qweights/act_scales ``None`` -> stats mode: fp ops that tap each conv
+    input's absmax into a ``stats`` dict (calibration).  Given -> int8
+    mode.  ``dn`` selects 2-D or 3-D convs (the decoder is always 2-D).
+    """
+    quant = qweights is not None
+    if sites is None:
+        sites = dict(derive_conv_sites(folded_params))
+    ones = (1,) * (len(dn[1]) - 2)
+
+    def q(x, s):
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                        -127, 127).astype(jnp.int8)
+
+    def conv_raw(xq, key):
+        """int8 conv with a (possibly split) quantized kernel -> int32."""
+        return jax.lax.conv_general_dilated(
+            xq, qweights[key]["wq"], ones, "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    def conv_q(xq, sx, name):
+        """int8 conv from an already-quantized input; bf16 out."""
+        p = qweights[name]
+        y = conv_raw(xq, name).astype(jnp.float32) * (p["sw"] * sx) \
+            + p["bias"]
+        return y.astype(dtype)
+
+    def conv_site(x, name, stats):
+        if not quant:
+            stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            p = _get(folded_params, sites[name])
+            y = jax.lax.conv_general_dilated(
+                x, p["kernel"].astype(dtype), ones, "SAME",
+                dimension_numbers=dn)
+            return y + p["bias"].astype(dtype)
+        return conv_q(q(x, act_scales[name]), act_scales[name], name)
+
+    def dc(x, block, stats):
+        """Stats-mode (or per-site-quantized) BN-folded DoubleConv."""
+        x = jnp.maximum(conv_site(x, f"{block}.conv1", stats), 0)
+        return jnp.maximum(conv_site(x, f"{block}.conv2", stats), 0)
+
+    def enc_dc(xq, sx, block, s_mid, s_out):
+        """Encoder DoubleConv on int8-resident tensors: int8 in, int8 out
+        (requantized in the conv epilogues; nothing round-trips bf16)."""
+        h = jnp.maximum(conv_q(xq, sx, f"{block}.conv1"), 0)
+        y = jnp.maximum(conv_q(q(h, s_mid), s_mid, f"{block}.conv2"), 0)
+        return q(y, s_out)
+
+    def pool(x):
+        """2x2 max pool over the trailing two spatial dims (T untouched
+        for NDHWC); commutes with symmetric quantization exactly."""
+        init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                else int(jnp.iinfo(x.dtype).min))
+        window = (1,) * (x.ndim - 3) + (2, 2, 1)
+        return jax.lax.reduce_window(
+            x, jnp.asarray(init, x.dtype), jax.lax.max,
+            window, window, "VALID")
+
+    def up_q(y, skip_q, s_skip, block):
+        """Quantized decoder Up: split-conv conv1 = conv(skip, K_skip) +
+        conv(up, K_up) by linearity, each operand at its own scale — the
+        concat never materializes and the skip stays int8-resident."""
+        from fabric_tpu.ops.resize import pad_to_match
+        u = upsample2x(y)
+        u = pad_to_match(u, skip_q.shape[-3], skip_q.shape[-2])
+        s_u = act_scales[f"{block}.conv1"]  # concat-range scale
+        qs = qweights[f"{block}.conv1.skip"]
+        qu = qweights[f"{block}.conv1.up"]
+        a = jax.lax.conv_general_dilated(
+            skip_q, qs["wq"], (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        bb = jax.lax.conv_general_dilated(
+            q(u, s_u), qu["wq"], (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        h = (a.astype(jnp.float32) * (qs["sw"] * s_skip)
+             + bb.astype(jnp.float32) * (qu["sw"] * s_u)
+             + qweights[f"{block}.conv1"]["bias"])
+        h = jnp.maximum(h, 0.0).astype(dtype)
+        s_mid = act_scales[f"{block}.conv2"]
+        return jnp.maximum(conv_q(q(h, s_mid), s_mid, f"{block}.conv2"), 0)
+
+    def up_stats(y, skip, block, stats):
+        """Stats-mode decoder Up (exactly the fold_bn model's math)."""
+        from fabric_tpu.ops.resize import pad_to_match
+        u = upsample2x(y)
+        u = pad_to_match(u, skip.shape[-3], skip.shape[-2])
+        x = jnp.concatenate([skip, u], axis=-1)
+        return dc(x, block, stats)
+
+    def outc(y):
+        p = folded_params["outc"]["conv"]
+        logits = jax.lax.conv_general_dilated(
+            y, p["kernel"].astype(dtype), (1, 1), "SAME",
+            dimension_numbers=_DN) + p["bias"].astype(dtype)
+        return logits.astype(jnp.float32)
+
+    return SimpleNamespace(quant=quant, q=q, conv_raw=conv_raw,
+                           conv_q=conv_q, conv_site=conv_site, dc=dc,
+                           enc_dc=enc_dc, pool=pool, up_q=up_q,
+                           up_stats=up_stats, outc=outc)
 
 
 def _make_forward(folded_params, qweights: Optional[dict],
                   act_scales: Optional[dict], dtype=jnp.bfloat16,
                   local_upsample: bool = False):
-    """One code path for both modes.
+    """Bi-date forward; one code path for both modes.
 
     qweights/act_scales None  -> exact bf16 forward that ALSO returns
     {site: absmax} for calibration.
@@ -119,52 +282,9 @@ def _make_forward(folded_params, qweights: Optional[dict],
 
     upsample2x = (upsample2x_local if local_upsample
                   else upsample2x_align_corners)
-
-    quant = qweights is not None
-    sites = dict(_SITES)
-
-    def q(x, s):
-        return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
-                        -127, 127).astype(jnp.int8)
-
-    def conv_q(xq, sx, name):
-        """int8 conv from an already-quantized input; bf16 out."""
-        p = qweights[name]
-        y = jax.lax.conv_general_dilated(
-            xq, p["wq"], (1, 1), "SAME", dimension_numbers=_DN,
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (p["sw"] * sx) + p["bias"]
-        return y.astype(dtype)
-
-    def conv_site(x, name, path, stats):
-        if not quant:
-            stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            p = _get(folded_params, path)
-            y = jax.lax.conv_general_dilated(
-                x, p["kernel"].astype(dtype), (1, 1), "SAME",
-                dimension_numbers=_DN)
-            return y + p["bias"].astype(dtype)
-        return conv_q(q(x, act_scales[name]), act_scales[name], name)
-
-    def dc(x, block, stats):
-        x = jnp.maximum(conv_site(x, f"{block}.conv1",
-                                  sites[f"{block}.conv1"], stats), 0)
-        return jnp.maximum(conv_site(x, f"{block}.conv2",
-                                     sites[f"{block}.conv2"], stats), 0)
-
-    def enc_dc(xq, sx, block, s_mid, s_out):
-        """Encoder DoubleConv on int8-resident tensors: int8 in, int8 out
-        (requantized in the conv epilogues; nothing round-trips bf16)."""
-        h = jnp.maximum(conv_q(xq, sx, f"{block}.conv1"), 0)
-        y = jnp.maximum(conv_q(q(h, s_mid), s_mid, f"{block}.conv2"), 0)
-        return q(y, s_out)
-
-    def pool(x):
-        init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-                else int(jnp.iinfo(x.dtype).min))
-        return jax.lax.reduce_window(
-            x, jnp.asarray(init, x.dtype), jax.lax.max,
-            (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    H = make_helpers(folded_params, qweights, act_scales, dtype,
+                     upsample2x=upsample2x)
+    quant = H.quant
 
     def forward(x_d1, x_d2):
         stats = {}
@@ -181,21 +301,21 @@ def _make_forward(folded_params, qweights: Optional[dict],
             s = [act_scales[k] for k in
                  ("inc.conv1", "down1.conv1", "down2.conv1",
                   "down3.conv1", "down4.conv1", "enc.x5")]
-            x1 = enc_dc(q(x, s[0]), s[0], "inc",
-                        act_scales["inc.conv2"], s[1])
-            x2 = enc_dc(pool(x1), s[1], "down1",
-                        act_scales["down1.conv2"], s[2])
-            x3 = enc_dc(pool(x2), s[2], "down2",
-                        act_scales["down2.conv2"], s[3])
-            x4 = enc_dc(pool(x3), s[3], "down3",
-                        act_scales["down3.conv2"], s[4])
-            x5 = enc_dc(pool(x4), s[4], "down4",
-                        act_scales["down4.conv2"], s[5])
+            x1 = H.enc_dc(H.q(x, s[0]), s[0], "inc",
+                          act_scales["inc.conv2"], s[1])
+            x2 = H.enc_dc(H.pool(x1), s[1], "down1",
+                          act_scales["down1.conv2"], s[2])
+            x3 = H.enc_dc(H.pool(x2), s[2], "down2",
+                          act_scales["down2.conv2"], s[3])
+            x4 = H.enc_dc(H.pool(x3), s[3], "down3",
+                          act_scales["down3.conv2"], s[4])
+            x5 = H.enc_dc(H.pool(x4), s[4], "down4",
+                          act_scales["down4.conv2"], s[5])
             # fusion reads the int8 tensors directly: relu(d2*d1) in int32.
             # f1..f4 are the decoder's skip operands — REQUANTIZED straight
             # to int8 at their own calibrated scale (never bf16-resident);
             # f5 is up1's upsample operand and dequantizes to bf16 for the
-            # align-corners resize.
+            # 2x resize.
             def fuse_q(a, sk, sf):
                 prod = jnp.maximum(a[n:].astype(jnp.int32)
                                    * a[:n].astype(jnp.int32), 0)
@@ -209,13 +329,17 @@ def _make_forward(folded_params, qweights: Optional[dict],
             f5 = (jnp.maximum(x5[n:].astype(jnp.int32)
                               * x5[:n].astype(jnp.int32), 0)
                   .astype(jnp.float32) * (s[5] * s[5])).astype(dtype)
-            f = f + [f5]
+
+            y = H.up_q(f5, f[3], act_scales["f4"], "up1")
+            y = H.up_q(y, f[2], act_scales["f3"], "up2")
+            y = H.up_q(y, f[1], act_scales["f2"], "up3")
+            y = H.up_q(y, f[0], act_scales["f1"], "up4")
         else:
-            x1 = dc(x, "inc", stats)
-            x2 = dc(pool(x1), "down1", stats)
-            x3 = dc(pool(x2), "down2", stats)
-            x4 = dc(pool(x3), "down3", stats)
-            x5 = dc(pool(x4), "down4", stats)
+            x1 = H.dc(x, "inc", stats)
+            x2 = H.dc(H.pool(x1), "down1", stats)
+            x3 = H.dc(H.pool(x2), "down2", stats)
+            x4 = H.dc(H.pool(x3), "down3", stats)
+            x5 = H.dc(H.pool(x4), "down4", stats)
             stats["enc.x5"] = jnp.max(jnp.abs(x5.astype(jnp.float32)))
             f = [jnp.maximum(a[n:] * a[:n], 0)
                  for a in (x1, x2, x3, x4, x5)]
@@ -223,60 +347,44 @@ def _make_forward(folded_params, qweights: Optional[dict],
                 stats[f"f{k}"] = jnp.max(jnp.abs(
                     f[k - 1].astype(jnp.float32)))
 
-        if quant:
-            # split-conv decoder: conv1 = conv(skip, K_skip) + conv(up,
-            # K_up) by linearity, each operand at its own scale — the
-            # concat never materializes and the skip stays int8-resident
-            def up_q(y, skip_q, s_skip, block):
-                u = upsample2x(y)
-                s_u = act_scales[f"{block}.conv1"]  # concat-range scale
-                qs = qweights[f"{block}.conv1.skip"]
-                qu = qweights[f"{block}.conv1.up"]
-                a = jax.lax.conv_general_dilated(
-                    skip_q, qs["wq"], (1, 1), "SAME",
-                    dimension_numbers=_DN,
-                    preferred_element_type=jnp.int32)
-                bb = jax.lax.conv_general_dilated(
-                    q(u, s_u), qu["wq"], (1, 1), "SAME",
-                    dimension_numbers=_DN,
-                    preferred_element_type=jnp.int32)
-                h = (a.astype(jnp.float32) * (qs["sw"] * s_skip)
-                     + bb.astype(jnp.float32) * (qu["sw"] * s_u)
-                     + qweights[f"{block}.conv1"]["bias"])
-                h = jnp.maximum(h, 0.0).astype(dtype)
-                s_mid = act_scales[f"{block}.conv2"]
-                return jnp.maximum(
-                    conv_q(q(h, s_mid), s_mid, f"{block}.conv2"), 0)
-
-            y = up_q(f[4], f[3], act_scales["f4"], "up1")
-            y = up_q(y, f[2], act_scales["f3"], "up2")
-            y = up_q(y, f[1], act_scales["f2"], "up3")
-            y = up_q(y, f[0], act_scales["f1"], "up4")
-        else:
-            def up(y, skip, block):
-                y = upsample2x(y)
-                y = jnp.concatenate([skip, y], axis=-1)
-                return dc(y, block, stats)
-
-            y = up(f[4], f[3], "up1")
-            y = up(y, f[2], "up2")
-            y = up(y, f[1], "up3")
-            y = up(y, f[0], "up4")
-        p = folded_params["outc"]["conv"]
-        logits = jax.lax.conv_general_dilated(
-            y, p["kernel"].astype(dtype), (1, 1), "SAME",
-            dimension_numbers=_DN) + p["bias"].astype(dtype)
-        logits = logits.astype(jnp.float32)
+            y = H.up_stats(f[4], f[3], "up1", stats)
+            y = H.up_stats(y, f[2], "up2", stats)
+            y = H.up_stats(y, f[1], "up3", stats)
+            y = H.up_stats(y, f[0], "up4", stats)
+        logits = H.outc(y)
         return logits if quant else (logits, stats)
 
     return forward
 
 
+def _forward_factory(model: str):
+    """The quantized/stats forward builder for a model family."""
+    if model == "bidate":
+        return _make_forward
+    if model == "unet_lstm":
+        from fabric_tpu.infer.quant_multidate import _make_forward_lstm
+        return _make_forward_lstm
+    if model == "unet3d":
+        from fabric_tpu.infer.quant_multidate import _make_forward_3d
+        return _make_forward_3d
+    raise ValueError(f"no int8 forward for model {model!r} "
+                     f"(families: {_FAMILIES})")
+
+
+def _as_args(item) -> tuple:
+    """A calibration batch item: a (d1, d2) pair for the bi-date model, a
+    single (N, T, H, W, C) stack for the multi-date variants."""
+    if isinstance(item, (tuple, list)):
+        return tuple(jnp.asarray(a) for a in item)
+    return (jnp.asarray(item),)
+
+
 def calibrate(folded_params, batches, dtype=jnp.bfloat16,
               headroom: float = 1.0, stats_forward=None,
-              local_upsample: bool = False) -> dict:
-    """Run the exact bf16 forward over ``batches`` (iterable of (d1, d2)
-    NHWC arrays) and return {site: float} per-tensor activation scales
+              local_upsample: bool = False, model: str = "bidate") -> dict:
+    """Run the exact forward over ``batches`` — (d1, d2) NHWC pairs for
+    the bi-date model, (N, T, H, W, C) stacks for the multi-date
+    variants — and return {site: float} per-tensor activation scales
     (absmax/127 over all batches).
 
     ``headroom`` scales every range, e.g. 0.9 deliberately clips the top
@@ -286,10 +394,10 @@ def calibrate(folded_params, batches, dtype=jnp.bfloat16,
     ``stats_forward``: cached :func:`make_stats_forward` result, for
     recalibration loops that must not re-jit per call."""
     fwd = stats_forward or make_stats_forward(folded_params, dtype,
-                                              local_upsample)
+                                              local_upsample, model)
     maxes: dict = {}
-    for d1, d2 in batches:
-        _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))
+    for item in batches:
+        _, stats = fwd(*_as_args(item))
         for k, v in stats.items():
             v = float(v)
             maxes[k] = max(maxes.get(k, 0.0), v)
@@ -297,18 +405,21 @@ def calibrate(folded_params, batches, dtype=jnp.bfloat16,
 
 
 def make_stats_forward(folded_params, dtype=jnp.bfloat16,
-                       local_upsample: bool = False):
+                       local_upsample: bool = False,
+                       model: str = "bidate"):
     """Jitted exact forward returning (logits, {site: absmax}) — the
     calibration taps.  Build ONCE and reuse: the closure does not depend
     on any activation scales, so one compile serves both calibration and
     every later range probe."""
-    return jax.jit(_make_forward(folded_params, None, None, dtype,
-                                 local_upsample))
+    fn = _forward_factory(model)(folded_params, None, None, dtype,
+                                 local_upsample)
+    return jax.jit(fn)
 
 
 def clip_report(folded_params, act_scales: dict, batches,
                 dtype=jnp.bfloat16, stats_forward=None,
-                local_upsample: bool = False) -> dict:
+                local_upsample: bool = False,
+                model: str = "bidate") -> dict:
     """Per-site activation-range overflow vs the calibrated int8 scales.
 
     Runs the exact forward over ``batches`` (same taps as
@@ -324,10 +435,10 @@ def clip_report(folded_params, act_scales: dict, batches,
     pass it in per-scene serving loops to avoid a re-jit per probe.
     """
     fwd = stats_forward or make_stats_forward(folded_params, dtype,
-                                              local_upsample)
+                                              local_upsample, model)
     maxes: dict = {}
-    for d1, d2 in batches:
-        _, stats = fwd(jnp.asarray(d1), jnp.asarray(d2))
+    for item in batches:
+        _, stats = fwd(*_as_args(item))
         for k, v in stats.items():
             maxes[k] = max(maxes.get(k, 0.0), float(v))
     return {k: maxes[k] / (127.0 * act_scales[k])
@@ -336,19 +447,21 @@ def clip_report(folded_params, act_scales: dict, batches,
 
 def make_int8_apply(folded_params, act_scales: dict,
                     dtype=jnp.bfloat16,
-                    local_upsample: bool = False) -> Callable:
-    """Build ``apply(variables, d1, d2, train=False) -> logits`` with the
-    same call signature as ``model.apply`` so it drops into
-    infer.device_tiling.make_scene_infer / train.steps eval wrappers.
+                    local_upsample: bool = False,
+                    model: str = "bidate") -> Callable:
+    """Build an apply closure with the same call signature as
+    ``model.apply`` so it drops into the scene runners unchanged —
+    ``apply(variables, d1, d2, train=False)`` for the bi-date model,
+    ``apply(variables, seq, train=False)`` for the multi-date variants.
     ``variables`` is accepted and ignored — the quantized weights are baked
     in as compile-time constants."""
     qw = quantize_weights(folded_params)
-    fwd = _make_forward(folded_params, qw, dict(act_scales), dtype,
-                        local_upsample)
+    fwd = _forward_factory(model)(folded_params, qw, dict(act_scales),
+                                  dtype, local_upsample)
 
-    def apply(variables, d1, d2, train=False):  # noqa: ARG001
+    def apply(variables, *dates, train=False):  # noqa: ARG001
         del variables, train
-        return fwd(d1, d2)
+        return fwd(*dates)
 
     # fullconv's banding guard reads this to reject crop-inconsistent
     # (align-corners) forwards

@@ -183,23 +183,34 @@ class ScenePredictor:
         if bundle is not None:
             # pre-folded (and possibly pre-calibrated) serving artifact
             # from tools/export.py — no checkpoint machinery at all
-            if self.multi_date:
-                raise ValueError("serving bundles are bidate-only "
-                                 "(tools/export.py); serve "
-                                 f"{cfg.model!r} from a checkpoint")
-            from fabric_tpu.models import BiDateNet
             from fabric_tpu.tools.export import load_bundle
             folded, scales, meta = load_bundle(bundle)
             if meta["n_channels"] != cfg.n_channels:
                 raise ValueError(
                     f"bundle n_channels {meta['n_channels']} != config "
                     f"{cfg.n_channels}")
+            bmodel = meta.get("model", "bidate")
+            if bmodel != cfg.model:
+                raise ValueError(f"bundle was exported from a "
+                                 f"{bmodel!r} model; config says "
+                                 f"{cfg.model!r}")
             self.variables = {"params": folded, "batch_stats": {}}
-            self.model = BiDateNet(
-                n_channels=meta["n_channels"], n_classes=meta["n_classes"],
-                base=meta.get("model_base", 0) or 64, dtype=self.dtype,
-                fold_bn=True, split_up_concat=split_up_concat,
-                local_upsample=bool(fullconv_band_rows))
+            common = dict(n_channels=meta["n_channels"],
+                          n_classes=meta["n_classes"], dtype=self.dtype,
+                          fold_bn=True,
+                          local_upsample=bool(fullconv_band_rows))
+            base = meta.get("model_base", 0)
+            if bmodel == "bidate":
+                from fabric_tpu.models import BiDateNet
+                self.model = BiDateNet(
+                    base=base or 64, split_up_concat=split_up_concat,
+                    **common)
+            elif bmodel == "unet_lstm":
+                from fabric_tpu.models.unet_lstm import UNetLSTM
+                self.model = UNetLSTM(base=base or 64, **common)
+            else:
+                from fabric_tpu.models.unet3d import UNet3D
+                self.model = UNet3D(base=base or 32, **common)
             # quant=None follows the bundle's own mode; "none"/"int8"
             # force exact / quantized serving explicitly
             self.quant = quant if quant is not None else meta.get(
@@ -208,11 +219,12 @@ class ScenePredictor:
                 from fabric_tpu.infer import quant as q
                 self.model = q.make_int8_apply(
                     folded, scales, self.dtype,
-                    local_upsample=bool(fullconv_band_rows))
+                    local_upsample=bool(fullconv_band_rows),
+                    model=bmodel)
                 self._scales = dict(scales)
             self._compiled = {}
-            log.info("loaded serving bundle %s (quant=%s)", bundle,
-                     self.quant)
+            log.info("loaded serving bundle %s (model=%s quant=%s)",
+                     bundle, bmodel, self.quant)
             return
 
         model = build_model(cfg)
@@ -235,11 +247,12 @@ class ScenePredictor:
         quant = quant or "none"
         folding = fold_bn and not cfg.use_pallas and cfg.model in (
             "bidate", "unet_lstm", "unet3d")
-        if quant == "int8" and not (folding and cfg.model == "bidate"):
-            raise ValueError("quant='int8' requires fold_bn=True, the "
-                             "bidate model, and use_pallas off (the "
-                             "quantized forward runs on BN-folded "
-                             "weights)")
+        if quant == "int8" and not folding:
+            raise ValueError("quant='int8' requires fold_bn=True and "
+                             "use_pallas off (the quantized forward runs "
+                             "on BN-folded weights); every model family "
+                             "serves quantized (infer/quant.py + "
+                             "quant_multidate.py)")
         self.quant = quant
         if folding:
             from fabric_tpu.ops.fold_bn import fold_batchnorm
@@ -274,20 +287,23 @@ class ScenePredictor:
         self._compiled: dict[tuple[int, int], object] = {}
 
     def calibrate(self, batches) -> None:
-        """Calibrate int8 activation scales on (d1, d2) NHWC batch pairs
-        (e.g. patches cropped from held-out scenes) and swap the serving
-        forward to the quantized path.  Clears compiled runners."""
+        """Calibrate int8 activation scales — on (d1, d2) NHWC batch pairs
+        for the bi-date model, (N, T, patch, patch, C) stacks for the
+        multi-date variants (e.g. patches cropped from held-out scenes) —
+        and swap the serving forward to the quantized path.  Clears
+        compiled runners."""
         from fabric_tpu.infer import quant as q
         local_up = bool(self.fullconv_band_rows)
         if getattr(self, "_stats_fwd", None) is None:
             self._stats_fwd = q.make_stats_forward(
                 self.variables["params"], self.dtype,
-                local_upsample=local_up)
+                local_upsample=local_up, model=self.cfg.model)
         scales = q.calibrate(self.variables["params"], batches, self.dtype,
                              stats_forward=self._stats_fwd)
         self.model = q.make_int8_apply(self.variables["params"], scales,
                                        self.dtype,
-                                       local_upsample=local_up)
+                                       local_upsample=local_up,
+                                       model=self.cfg.model)
         self._scales = dict(scales)
         self._compiled.clear()
 
@@ -300,13 +316,73 @@ class ScenePredictor:
         pads = [(0, max(p - h0, 0)), (0, max(p - w0, 0)), (0, 0)]
         e1, e2 = (np.pad(x, pads, mode="edge") for x in (d1, d2))
         crops1, crops2 = [], []
-        for (y, x) in {(0, 0),
-                       (max(h0 - p, 0), max(w0 - p, 0)),
-                       (max((h0 - p) // 2, 0), max((w0 - p) // 2, 0))}:
+        for (y, x) in self._crop_anchors(h0, w0):
             crops1.append(e1[y:y + p, x:x + p])
             crops2.append(e2[y:y + p, x:x + p])
         return (np.stack(crops1).astype(np.float32),
                 np.stack(crops2).astype(np.float32))
+
+    def _crop_anchors(self, h0: int, w0: int) -> set:
+        p = self.cfg.patch_size
+        return {(0, 0),
+                (max(h0 - p, 0), max(w0 - p, 0)),
+                (max((h0 - p) // 2, 0), max((w0 - p) // 2, 0))}
+
+    def _calibration_crops_multidate(self, scenes) -> np.ndarray:
+        """(N, T, patch, patch, C) corner/center crops of a (T, H, W, C)
+        date stack (the multi-date analogue of :meth:`_calibration_crops`)."""
+        p = self.cfg.patch_size
+        h0, w0 = scenes.shape[1:3]
+        pads = [(0, 0), (0, max(p - h0, 0)), (0, max(p - w0, 0)), (0, 0)]
+        e = np.pad(scenes, pads, mode="edge")
+        crops = [e[:, y:y + p, x:x + p]
+                 for (y, x) in self._crop_anchors(h0, w0)]
+        return np.stack(crops).astype(np.float32)
+
+    def _int8_scene_prologue(self, crops) -> None:
+        """Shared per-scene int8 machinery: first-scene (or cadence-due)
+        calibration, otherwise the activation-range clip probe.  ``crops``
+        is whatever :meth:`calibrate` accepts — a (d1, d2) pair for the
+        bi-date model, an (N, T, p, p, C) stack for the multi-date ones."""
+        # cadence counts from the FIRST scene: scene 0 only calibrates
+        # when no scales exist yet, so a bundle's curated offline scales
+        # survive until the cadence actually comes due (scene N, 2N, ...)
+        due = (self._scales is None
+               or (self.recalibrate_every > 0
+                   and self._scenes_predicted > 0
+                   and self._scenes_predicted % self.recalibrate_every
+                   == 0))
+        n_crops = (crops[0] if isinstance(crops, tuple) else crops).shape[0]
+        if due:
+            # (re-)calibrate on corner/center patches of THIS scene;
+            # cadence via recalibrate_every (0 = first scene only)
+            self.calibrate([crops])
+            log.info("int8 calibration on scene %d (%d crops)",
+                     self._scenes_predicted, n_crops)
+        elif self.clip_warn_ratio:
+            # guardrail: static scales from an earlier scene — probe
+            # whether THIS scene's activation ranges overflow them
+            # (probe forward compiled once, reused every scene)
+            from fabric_tpu.infer import quant as q
+            if getattr(self, "_stats_fwd", None) is None:
+                self._stats_fwd = q.make_stats_forward(
+                    self.variables["params"], self.dtype,
+                    local_upsample=bool(self.fullconv_band_rows),
+                    model=self.cfg.model)
+            report = q.clip_report(self.variables["params"],
+                                   self._scales, [crops], self.dtype,
+                                   stats_forward=self._stats_fwd)
+            self.last_clip_report = report
+            site = max(report, key=report.get)
+            if report[site] > self.clip_warn_ratio:
+                log.warning(
+                    "int8 activation clipping on scene %d: site %s "
+                    "absmax is %.2fx the calibrated range (worst of "
+                    "%d sites); predictions may degrade there — "
+                    "recalibrate (ScenePredictor.calibrate / "
+                    "recalibrate_every) or raise calibration "
+                    "headroom", self._scenes_predicted, site,
+                    report[site], len(report))
 
     def _bucket_dims(self, h: int, w: int) -> tuple[int, int]:
         """Padded (H, W) for this scene under the bucket policy."""
@@ -430,44 +506,7 @@ class ScenePredictor:
             raise ValueError("this predictor serves a multi-date model; "
                              "use predict_multidate((T, H, W, C))")
         if self.quant == "int8":
-            crops = self._calibration_crops(d1, d2)
-            # cadence counts from the FIRST scene: scene 0 only calibrates
-            # when no scales exist yet, so a bundle's curated offline scales
-            # survive until the cadence actually comes due (scene N, 2N, ...)
-            due = (self._scales is None
-                   or (self.recalibrate_every > 0
-                       and self._scenes_predicted > 0
-                       and self._scenes_predicted % self.recalibrate_every
-                       == 0))
-            if due:
-                # (re-)calibrate on corner/center patches of THIS pair;
-                # cadence via recalibrate_every (0 = first scene only)
-                self.calibrate([crops])
-                log.info("int8 calibration on scene %d (%d crops)",
-                         self._scenes_predicted, crops[0].shape[0])
-            elif self.clip_warn_ratio:
-                # guardrail: static scales from an earlier scene — probe
-                # whether THIS scene's activation ranges overflow them
-                # (probe forward compiled once, reused every scene)
-                from fabric_tpu.infer import quant as q
-                if getattr(self, "_stats_fwd", None) is None:
-                    self._stats_fwd = q.make_stats_forward(
-                        self.variables["params"], self.dtype,
-                        local_upsample=bool(self.fullconv_band_rows))
-                report = q.clip_report(self.variables["params"],
-                                       self._scales, [crops], self.dtype,
-                                       stats_forward=self._stats_fwd)
-                self.last_clip_report = report
-                site = max(report, key=report.get)
-                if report[site] > self.clip_warn_ratio:
-                    log.warning(
-                        "int8 activation clipping on scene %d: site %s "
-                        "absmax is %.2fx the calibrated range (worst of "
-                        "%d sites); predictions may degrade there — "
-                        "recalibrate (ScenePredictor.calibrate / "
-                        "recalibrate_every) or raise calibration "
-                        "headroom", self._scenes_predicted, site,
-                        report[site], len(report))
+            self._int8_scene_prologue(self._calibration_crops(d1, d2))
         self._scenes_predicted += 1
         mask, h, w = self._dispatch(d1, d2)
         return np.asarray(mask)[:h, :w]
@@ -546,6 +585,10 @@ class ScenePredictor:
         if not self.multi_date:
             raise ValueError("predict_multidate requires a multi-date "
                              "model (cfg.model unet_lstm/unet3d)")
+        if self.quant == "int8":
+            self._int8_scene_prologue(
+                self._calibration_crops_multidate(scenes))
+        self._scenes_predicted += 1
         t, h, w = scenes.shape[:3]
         if self.fullconv_stream:
             run = self._get_runner(h, w)

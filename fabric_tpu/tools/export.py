@@ -53,9 +53,12 @@ def export_bundle(cfg, checkpoint: str, out_path: str,
                   headroom: float = 1.0) -> dict:
     """Fold + (optionally) calibrate + write the bundle; returns its meta.
 
-    ``calib_batches``: iterable of (d1, d2) NHWC float arrays for int8
-    calibration; defaults to synthetic N(0,1) batches, which matches the
-    normalized-input distribution the model is trained on.
+    Every model family exports (bidate / unet_lstm / unet3d — r3 VERDICT
+    #1).  ``calib_batches``: iterable of int8-calibration inputs — (d1,
+    d2) NHWC float pairs for the bi-date model, (N, T, patch, patch, C)
+    stacks for the multi-date variants; defaults to synthetic N(0,1)
+    batches, which matches the normalized-input distribution the model is
+    trained on.
     """
     import os
 
@@ -66,9 +69,10 @@ def export_bundle(cfg, checkpoint: str, out_path: str,
     from fabric_tpu.ops.fold_bn import fold_batchnorm
     from fabric_tpu.train.state import create_state
 
-    if cfg.model != "bidate":
-        raise ValueError("serving bundles support the bidate model "
-                         f"(got {cfg.model!r})")
+    if cfg.model not in ("bidate", "unet_lstm", "unet3d"):
+        raise ValueError(f"unknown model for a serving bundle: "
+                         f"{cfg.model!r}")
+    multi_date = cfg.model in ("unet_lstm", "unet3d")
     model = build_model(cfg)
     state = create_state(cfg, model)
     path = checkpoint
@@ -87,6 +91,8 @@ def export_bundle(cfg, checkpoint: str, out_path: str,
             "patch_size": cfg.patch_size, "dtype": cfg.dtype,
             "quant": quant, "source_checkpoint": os.path.abspath(path),
             "fold_bn": True}
+    if multi_date:
+        meta["num_dates"] = cfg.num_dates
     arrays = {f"params{_SEP}{k}": v
               for k, v in _flatten(folded).items()}
 
@@ -95,12 +101,18 @@ def export_bundle(cfg, checkpoint: str, out_path: str,
         if calib_batches is None:
             rng = np.random.RandomState(0)
             p = cfg.patch_size
-            calib_batches = [(rng.randn(8, p, p, cfg.n_channels)
-                              .astype(np.float32),
-                              rng.randn(8, p, p, cfg.n_channels)
-                              .astype(np.float32))]
+            if multi_date:
+                calib_batches = [rng.randn(
+                    4, cfg.num_dates, p, p, cfg.n_channels
+                ).astype(np.float32)]
+            else:
+                calib_batches = [(rng.randn(8, p, p, cfg.n_channels)
+                                  .astype(np.float32),
+                                  rng.randn(8, p, p, cfg.n_channels)
+                                  .astype(np.float32))]
         dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        scales = q.calibrate(folded, calib_batches, dt, headroom=headroom)
+        scales = q.calibrate(folded, calib_batches, dt, headroom=headroom,
+                             model=cfg.model)
         for k, v in scales.items():
             arrays[f"scales{_SEP}{k}"] = np.float32(v)
 

@@ -449,6 +449,50 @@ def test_int8_fullconv_banded_equals_whole():
         make_fullconv_scene_infer(apply_ac, shape, band_rows=160)
 
 
+def test_int8_sharded_fullconv_equals_single_device(monkeypatch):
+    """int8 x sharded fullconv (r3 VERDICT #4): the quantized apply run
+    through the 8-device halo-exchange path must reproduce the
+    single-device whole-scene int8 forward.  The integer ops are
+    bit-exact across band shapes; as in
+    test_int8_fullconv_banded_equals_whole, the only permitted
+    divergence is tie flips at |p - 0.5| from fp32 FMA contraction of
+    the dequant epilogues."""
+    from fabric_tpu.infer import quant
+    from fabric_tpu.infer.fullconv import make_sharded_fullconv_infer
+    from fabric_tpu.parallel.mesh import make_mesh
+
+    folded = _folded_params()
+    rng = np.random.RandomState(11)
+    calib = [(jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32),
+              jnp.asarray(rng.randn(2, 32, 32, 13), jnp.float32))]
+    scales = quant.calibrate(folded, calib, dtype=jnp.float32,
+                             local_upsample=True)
+    apply_q = quant.make_int8_apply(folded, scales, jnp.float32,
+                                    local_upsample=True)
+    mesh = make_mesh(data=8)
+    shape = (2048, 44)  # per-device band 256 = 2*halo; W pads to 48
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    run = make_sharded_fullconv_infer(apply_q, shape, mesh, band_rows=96,
+                                      halo=128, dtype=jnp.float32)
+    got = np.asarray(run({}, jnp.asarray(d1), jnp.asarray(d2)))
+    assert got.shape == shape
+
+    # single-device whole-scene int8 reference, at the probability level
+    p1 = jnp.pad(jnp.asarray(d1), ((0, 0), (0, 4), (0, 0)), mode="edge")
+    p2 = jnp.pad(jnp.asarray(d2), ((0, 0), (0, 4), (0, 0)), mode="edge")
+    logits = apply_q({}, p1[None], p2[None], train=False)
+    prob = np.asarray(jax.nn.softmax(logits.astype(jnp.float32),
+                                     axis=-1))[0, :, :44, 1]
+    ref = (prob > 0.5).astype(np.uint8)
+    mm = got != ref
+    assert mm.mean() <= 1e-3, f"{mm.sum()} mask mismatches"
+    if mm.any():
+        ties = np.abs(prob[mm] - 0.5)
+        assert ties.max() < 2e-3, (
+            f"mismatch away from the decision boundary: {ties.max()}")
+
+
 def test_predictor_oom_guidance():
     """A device OOM during a scene run surfaces mode-specific sizing
     advice (band_rows / stream / shard) instead of a bare XLA error."""
