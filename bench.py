@@ -151,6 +151,13 @@ def main(argv=None) -> int:
                          "(infer/fullconv.py) — no tiling, no seams, "
                          "every pixel gets its full receptive field; "
                          "0 = off")
+    ap.add_argument("--band_batch", type=int, default=1,
+                    help="with --fullconv (bi-date, in-HBM): batch N "
+                         "consecutive halo-extended bands into one "
+                         "(N, ctx, W, C) forward — restores the conv "
+                         "tiling rate lost at batch 1 at the cost of "
+                         "halo redundancy (sweep results in BASELINE.md "
+                         "'batched-band fullconv')")
     ap.add_argument("--stream", action="store_true",
                     help="with --fullconv: stream each halo-extended band "
                          "from host memory instead of placing the scene "
@@ -174,10 +181,14 @@ def main(argv=None) -> int:
     # Unsupported combinations fail loudly instead of silently benchmarking
     # something other than what was asked (the recorded JSON drives
     # decisions — a mislabeled measurement is worse than no measurement).
-    if args.quant == "int8" and (args.model != "bidate"
-                                 or args.workload != "infer"):
-        raise SystemExit("--quant int8 supports the bi-date infer workload "
-                         "only (infer/quant.py quantizes the bi-date graph)")
+    if args.quant == "int8" and args.workload != "infer":
+        raise SystemExit("--quant int8 is a serving mode (infer workload "
+                         "only; every model family serves quantized — "
+                         "infer/quant.py + quant_multidate.py)")
+    if args.band_batch != 1 and not (args.fullconv and not args.stream
+                                     and args.model == "bidate"):
+        raise SystemExit("--band_batch applies to the bi-date in-HBM "
+                         "--fullconv mode")
     if args.shard_scene and args.overlap:
         raise SystemExit("--shard_scene serves grid-mode only (no "
                          "--overlap); ScenePredictor enforces the same")
@@ -325,7 +336,7 @@ def main(argv=None) -> int:
             from fabric_tpu.infer.fullconv import make_fullconv_scene_infer
             run = make_fullconv_scene_infer(
                 model, (args.size, args.size), band_rows=args.fullconv,
-                dtype=dt)
+                dtype=dt, band_batch=args.band_batch)
         else:
             from fabric_tpu.infer.device_tiling import make_scene_infer
             run = make_scene_infer(model, args.patch,
@@ -414,6 +425,7 @@ def main(argv=None) -> int:
             "overlap": args.overlap, "mode": args.mode,
             "shard_scene": args.shard_scene, "band_rows": args.band_rows,
             "fullconv": args.fullconv, "stream": args.stream,
+            "band_batch": args.band_batch,
             "dtype": args.dtype, "fold_bn": args.fold_bn,
             "use_pallas": args.use_pallas, "quant": args.quant,
             "split_up_concat": args.split_up_concat,
@@ -477,6 +489,23 @@ def _bench_multidate(args) -> int:
                      "batch_stats": {}}
     elif args.fullconv:
         raise SystemExit("--fullconv requires --fold_bn")
+    elif args.quant == "int8":
+        raise SystemExit("--quant int8 requires --fold_bn")
+
+    if args.quant == "int8":
+        # quantized multi-date serving (infer/quant_multidate.py): same
+        # calibration story as the bi-date bench — random normalized
+        # batches; throughput is scale-independent
+        from fabric_tpu.infer import quant as _quant
+        rng = np.random.RandomState(7)
+        calib = [jnp.asarray(rng.randn(8, args.num_dates, args.patch,
+                                       args.patch, 13), jnp.float32)]
+        model = _quant.make_int8_apply(
+            variables["params"],
+            _quant.calibrate(variables["params"], calib, dt,
+                             local_upsample=bool(args.fullconv),
+                             model=args.model),
+            dt, local_upsample=bool(args.fullconv), model=args.model)
 
     scenes = jax.random.normal(
         jax.random.PRNGKey(0), (args.num_dates, args.size, args.size, 13),
@@ -515,7 +544,7 @@ def _bench_multidate(args) -> int:
                             f"{args.num_dates} dates",
                    "model": args.model, "patch": args.patch,
                    "batch": args.batch, "overlap": args.overlap,
-                   "fullconv": args.fullconv,
+                   "fullconv": args.fullconv, "quant": args.quant,
                    "dtype": args.dtype, "fold_bn": args.fold_bn,
                    "backend": jax.default_backend(),
                    "compile_plus_first_s": round(compile_and_first, 3),

@@ -75,7 +75,7 @@ def receptive_field_radius(model=None, base: int = 4) -> int:
 
 def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
                               band_rows: int = 1024, halo: int = 128,
-                              dtype=jnp.bfloat16):
+                              dtype=jnp.bfloat16, band_batch: int = 1):
     """Build a jitted ``run(variables, scene1, scene2) -> (H, W) uint8``
     seamless whole-scene change-mask function.
 
@@ -84,11 +84,27 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
     banded result would not be crop-consistent.  ``band_rows`` and
     ``halo`` must be multiples of the U-Net stride (16).  The scene is
     edge-padded up to stride alignment and the mask cropped back.
+
+    ``band_batch=B`` gathers B consecutive halo-extended bands into ONE
+    (B, ctx_h, W, C) forward instead of running them sequentially at
+    batch 1: batch-1 full-width convs lower at ~15 TFLOP/s on the v5e
+    where batched tiles hit ~76 (BASELINE.md train-wall attribution), so
+    batching the bands trades halo redundancy — smaller bands at batch B
+    recompute ``(band_rows + 2*halo) / band_rows`` of the rows, 2x at 256
+    vs 1.25x at 1024 — against the batched-conv rate.  Peak activation
+    memory scales with ``B * (band_rows + 2*halo)`` rows, so B and
+    band_rows move in opposition at fixed HBM.  The gathered windows and
+    per-band crops are byte-identical to the sequential path's, and the
+    forward is batch-invariant (BN folded, convs deterministic), so masks
+    are EXACTLY equal for every B (tests/test_fullconv.py pins it).
+    Measured v5e sweep: BASELINE.md "batched-band fullconv".
     """
     h, w = scene_shape
     if band_rows % STRIDE or halo % STRIDE:
         raise ValueError(f"band_rows and halo must be multiples of "
                          f"{STRIDE} (got {band_rows}, {halo})")
+    if band_batch < 1:
+        raise ValueError(f"band_batch must be >= 1 (got {band_batch})")
     if getattr(model, "local_upsample", True) is False:
         raise ValueError("fullconv banding requires the shift-invariant "
                          "decoder upsample: build the model with "
@@ -101,6 +117,11 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
     def prob_map(variables, c1, c2):
         logits = apply_fn(variables, c1[None], c2[None], train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, ..., 1]
+
+    def prob_map_batched(variables, c1, c2):
+        # (B, ctx_h, wp, C) -> (B, ctx_h, wp) change probabilities
+        logits = apply_fn(variables, c1, c2, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
     ctx_h = min(hp, band_rows + 2 * halo)
     n_uniform, tail = divmod(hp, band_rows) if ctx_h < hp else (0, 0)
@@ -128,10 +149,37 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
                 (p > 0.5).astype(jnp.uint8), (y0 - cs, 0), (rows, wp))
             return jax.lax.dynamic_update_slice(canvas, band_mask, (y0, 0))
 
+        def band_group(canvas, y0, nb):
+            # nb consecutive bands as one batched forward: gather their
+            # (identically-clamped) context windows, run (nb, ctx_h, wp, C)
+            # through the net, crop each band's kept rows, and paste the
+            # contiguous (nb * band_rows, wp) slab in one update
+            y0s = y0 + band_rows * jnp.arange(nb)
+            css = jnp.clip(y0s - halo, 0, hp - ctx_h)
+            gather = jax.vmap(lambda s, cs: jax.lax.dynamic_slice(
+                s, (cs, 0, 0), (ctx_h, wp, s.shape[-1])), in_axes=(None, 0))
+            p = prob_map_batched(variables, gather(s1, css), gather(s2, css))
+            m = (p > 0.5).astype(jnp.uint8)
+            keep = jax.vmap(lambda mi, off: jax.lax.dynamic_slice(
+                mi, (off, 0), (band_rows, wp)))(m, y0s - css)
+            return jax.lax.dynamic_update_slice(
+                canvas, keep.reshape(nb * band_rows, wp), (y0, 0))
+
         canvas = jnp.zeros((hp, wp), jnp.uint8)
-        canvas = jax.lax.fori_loop(
-            0, n_uniform,
-            lambda i, c: band(c, i * band_rows, band_rows), canvas)
+        if band_batch == 1:
+            canvas = jax.lax.fori_loop(
+                0, n_uniform,
+                lambda i, c: band(c, i * band_rows, band_rows), canvas)
+        else:
+            bb = min(band_batch, n_uniform)  # no group taller than the scene
+            n_groups, rem = divmod(n_uniform, bb)
+            group_rows = bb * band_rows
+            if n_groups:  # fori_loop traces its body even for zero trips
+                canvas = jax.lax.fori_loop(
+                    0, n_groups,
+                    lambda g, c: band_group(c, g * group_rows, bb), canvas)
+            if rem:  # leftover uniform bands: one smaller static batch
+                canvas = band_group(canvas, n_groups * group_rows, rem)
         if tail:
             canvas = band(canvas, n_uniform * band_rows, tail)
         return canvas[:h, :w]

@@ -93,6 +93,30 @@ def test_banded_equals_whole_scene(shape, band_rows):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("shape,band_rows,band_batch", [
+    ((600, 100), 160, 2),   # 3 uniform bands: 1 group of 2 + rem 1 + tail
+    ((608, 96), 160, 4),    # 3 uniform bands + tail, all in the rem group
+    ((960, 80), 160, 3),    # 6 uniform bands: exactly 2 groups, no rem
+    ((600, 100), 160, 8),   # band_batch > n_uniform: rem group only
+])
+def test_band_batched_equals_whole_scene(shape, band_rows, band_batch):
+    """band_batch=B gathers B bands into one batched forward (the v5e
+    batch-1-conv rate fix, BASELINE.md): masks must be EXACTLY the
+    sequential banding's == the whole-scene forward's for every B and
+    every group/remainder/tail split."""
+    model, variables = _model_and_vars()
+    rng = np.random.RandomState(3)
+    d1 = rng.randn(*shape, 13).astype(np.float32)
+    d2 = rng.randn(*shape, 13).astype(np.float32)
+    run = make_fullconv_scene_infer(model, shape, band_rows=band_rows,
+                                    halo=128, dtype=jnp.float32,
+                                    band_batch=band_batch)
+    got = np.asarray(run(variables, jnp.asarray(d1), jnp.asarray(d2)))
+    ref = _direct_mask(model, variables, d1, d2)
+    assert got.shape == shape
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_insufficient_halo_breaks_equality():
     """Teeth: a halo below the receptive field must NOT reproduce the
     whole-scene forward — otherwise the equality test above proves
