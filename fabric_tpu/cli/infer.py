@@ -57,6 +57,23 @@ def main(argv=None) -> int:
                             "seamless sharded fullconv when combined "
                             "with --fullconv_band_rows (halo exchange "
                             "over ICI)")
+    extra.add_argument("--bucket", type=int, default=512,
+                       help="scene dims pad up to multiples of this "
+                            "(compile reuse across scene shapes; must "
+                            "match the exporting --aot_bucket when "
+                            "serving an AOT artifact)")
+    extra.add_argument("--aot_dir", type=str, default=None,
+                       help="serve from an ahead-of-time artifact "
+                            "(infer/aot.py export_aot): scene runners "
+                            "load as frozen StableHLO — no tracing or "
+                            "lowering at serving time; masks are "
+                            "bit-identical to the in-process path")
+    extra.add_argument("--no_tracker", action="store_true",
+                       help="disable the serving metrics stream (by "
+                            "default every served scene writes a "
+                            "serve_* record — dims, bucket, compile-or-"
+                            "cached, wall ms, Mpx/s, quant/clip state — "
+                            "to <log_dir>/<run>/metrics.jsonl)")
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
@@ -71,7 +88,16 @@ def main(argv=None) -> int:
     cfg = load_config(argv=rest)
     fast = (own.bundle is not None or own.quant == "int8"
             or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0
-            or own.fullconv_stream or own.shard_scene)
+            or own.fullconv_stream or own.shard_scene
+            or own.aot_dir is not None)
+    tracker = None
+    if not own.no_tracker:
+        # serving observability (the reference logged every scene to its
+        # experiment tracker, utils/inference.py:107-131): per-scene
+        # serve_* records stream to <log_dir>/<run>/metrics.jsonl
+        from fabric_tpu.track import Tracker
+        tracker = Tracker(cfg.log_dir, project="serve")
+        logging.info("serving metrics -> %s/metrics.jsonl", tracker.dir)
     if not cfg.resume and not own.bundle:
         print("error: --resume <checkpoint> is required "
               "(or --bundle for the serving path)", file=sys.stderr)
@@ -84,15 +110,17 @@ def main(argv=None) -> int:
         from fabric_tpu.data.download import ensure_dataset
         from fabric_tpu.infer.service import ScenePredictor
         cfg.dataset_dir = ensure_dataset(cfg)
-        mesh = (None if own.overlap_band_rows
+        mesh = (None if own.overlap_band_rows or own.aot_dir
                 or (own.fullconv_band_rows and not own.shard_scene)
                 else make_mesh_from_config(cfg))
         pred = ScenePredictor(cfg, checkpoint=cfg.resume or None,
                               bundle=own.bundle, quant=own.quant,
+                              bucket=own.bucket,
                               mesh=mesh, shard_scene=own.shard_scene,
                               overlap_band_rows=own.overlap_band_rows,
                               fullconv_band_rows=own.fullconv_band_rows,
-                              fullconv_stream=own.fullconv_stream)
+                              fullconv_stream=own.fullconv_stream,
+                              aot_dir=own.aot_dir, tracker=tracker)
         predict_city = pred.predict_city
     else:
         # reference-shaped step runner (bit-exact tiling semantics)
@@ -113,8 +141,20 @@ def main(argv=None) -> int:
         prob_step = make_infer_probs_step(model)
 
         def predict_city(city):
-            return infer_city(infer_step, state, cfg, city, mesh=mesh,
+            import time
+            t0 = time.perf_counter()
+            mask = infer_city(infer_step, state, cfg, city, mesh=mesh,
                               prob_step=prob_step)
+            if tracker is not None:
+                wall = time.perf_counter() - t0
+                h, w = mask.shape[:2]
+                tracker.log_metrics(
+                    {"scene": city, "height": h, "width": w,
+                     "wall_ms": round(wall * 1000.0, 2),
+                     "mpx_per_sec": round(h * w / wall / 1e6, 3),
+                     "mode": "reference_grid", "quant": "none"},
+                    prefix="serve_")
+            return mask
 
     cities = own.city or cfg.validation_cities
     os.makedirs(own.output_dir, exist_ok=True)
@@ -124,6 +164,9 @@ def main(argv=None) -> int:
         write_png(out, mask * 255)
         logging.info("wrote %s (%dx%d, %.2f%% change)", out,
                      mask.shape[0], mask.shape[1], 100.0 * mask.mean())
+    if tracker is not None:
+        tracker.set_status("succeeded")
+        tracker.close()
     return 0
 
 

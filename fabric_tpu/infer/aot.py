@@ -9,17 +9,25 @@ predictor's compiled scene runner into a portable StableHLO artifact:
   runner once per scene bucket — including **cross-platform**: a CPU dev
   machine can emit TPU artifacts (``platforms=("tpu",)``) with no TPU
   attached, because jax.export lowers through StableHLO without a backend.
-- ``save_aot`` / ``load_aot`` persist them next to the bundle.
+- ``export_aot(predictor, directory, shapes)`` exports AND persists the
+  artifact with an ``aot_meta.json`` recording the frozen serving
+  configuration — model family, quant mode, and (int8) the PINNED
+  calibration scales.  ``save_aot`` / ``load_aot`` are the raw layers.
 - ``ScenePredictor(..., aot_dir=...)`` then serves from the artifact:
-  no model code, no tracing, no Python-side lowering at serving time —
-  the device just compiles the shipped StableHLO (and the persistent
-  compilation cache makes restarts near-instant).
+  no tracing, no Python-side lowering for artifact-covered buckets — the
+  device just compiles the shipped StableHLO (and the persistent
+  compilation cache makes restarts near-instant).  Missing buckets fall
+  back to in-process jit with a warning.
 
 The artifact pins the exact exported math: masks are bit-identical to the
-in-process jit path (asserted in tests/test_aot.py).  Scope: the pure-jit
-serving modes (grid / overlap / banded overlap / in-HBM fullconv, incl.
-int8).  Host-streamed and mesh-sharded modes stay in-process — their
-runners do host work per band that has no StableHLO form.
+in-process jit path (asserted in tests/test_aot.py, incl. int8 — whose
+scales are frozen at export: ``export_runners`` rejects predictors that
+would still recalibrate, and the serving side seeds its scales from the
+meta so the clip probe and fallback buckets stay consistent).  Scope: the
+pure-jit serving modes (grid / overlap / banded overlap / in-HBM
+fullconv, incl. int8).  Host-streamed and mesh-sharded modes stay
+in-process — their runners do host work per band that has no StableHLO
+form.
 
 The reference has no deployment artifact at all (it pickles the live torch
 module mid-training, /root/reference/train.py:222).
@@ -117,6 +125,21 @@ def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
             "AOT export covers the single-device pure-jit serving modes; "
             "streamed/sharded runners do per-band host work and must stay "
             "in-process")
+    if predictor.quant == "int8":
+        # the artifact freezes the quantized math, including the
+        # activation scales baked into it as compile-time constants —
+        # a predictor that would still (re)calibrate cannot be frozen
+        # faithfully (its scales mutate and re-jit; the artifact can't)
+        if predictor._scales is None:
+            raise ValueError(
+                "int8 AOT export needs calibrated activation scales: "
+                "call predictor.calibrate(...) (or serve from a "
+                "calibrated bundle) before exporting")
+        if predictor.recalibrate_every > 0:
+            raise ValueError(
+                "int8 AOT artifacts pin the calibration scales at export "
+                "time; recalibrate_every > 0 would silently diverge from "
+                "them — export from a predictor with recalibrate_every=0")
     out = {}
     for h, w in scene_shapes:
         ph, pw = predictor._bucket_dims(h, w)
@@ -131,3 +154,39 @@ def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
         log.info("exported %dx%d runner (%d KiB, platforms=%s)",
                  ph, pw, len(out[(ph, pw)]) // 1024, list(platforms))
     return out
+
+
+def export_aot(predictor, directory: str, scene_shapes,
+               platforms=("tpu",)) -> dict:
+    """Export + persist a predictor's AOT serving artifact in one call:
+    runners for every scene shape, plus an ``aot_meta.json`` recording the
+    serving configuration the artifact was frozen from — model family,
+    quant mode, and (for int8) the PINNED calibration scales, so a serving
+    process can seed its scales from the artifact and its clip-probe /
+    fallback-jit paths stay consistent with the frozen math.  Returns the
+    meta dict."""
+    import jax.numpy as jnp
+
+    runners = export_runners(predictor, scene_shapes, platforms)
+    meta = {
+        "format_version": 1,
+        "model": predictor.cfg.model,
+        "quant": predictor.quant,
+        "dtype": ("bfloat16" if predictor.dtype == jnp.bfloat16
+                  else "float32"),
+        "bucket": predictor.bucket,
+        "num_dates": (predictor.cfg.num_dates if predictor.multi_date
+                      else 0),
+        "fullconv_band_rows": predictor.fullconv_band_rows,
+        "platforms": list(platforms),
+    }
+    if predictor.quant == "int8":
+        meta["int8_scales"] = {k: float(v)
+                               for k, v in predictor._scales.items()}
+    save_aot(directory, runners, meta)
+    return meta
+
+
+def read_meta(directory: str) -> dict:
+    with open(os.path.join(directory, _META)) as f:
+        return json.load(f)

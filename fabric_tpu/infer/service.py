@@ -19,6 +19,7 @@ tiling at the cost of one compile per distinct scene shape.
 from __future__ import annotations
 
 import logging
+import time
 
 import numpy as np
 
@@ -91,6 +92,23 @@ class ScenePredictor:
         exactly).  Bidate and multi-date models, single device (use
         shard_scene for mesh-distributed scenes); masks can stream to an
         ``out=`` memmap via the runner directly.
+      tracker: optional :class:`fabric_tpu.track.Tracker` — every served
+        scene streams a ``serve_``-prefixed record into its
+        ``metrics.jsonl``: scene id + dims, bucket, whether this scene
+        compiled a new runner or hit a cached one, wall ms, Mpx/s,
+        serving mode, quant mode, and (int8) the worst clip-probe
+        site/ratio.  ``cli.infer`` wires one by default — the serving
+        replacement for the reference's per-scene comet logging
+        (/root/reference/utils/inference.py:107-131).
+      aot_dir: serve from an ahead-of-time artifact (infer/aot.py
+        ``export_aot``): scene runners load as serialized StableHLO —
+        no tracing or Python-side lowering at serving time; masks are
+        bit-identical to the in-process jit path (tests/test_aot.py).
+        Buckets missing from the artifact fall back to in-process jit
+        with a warning.  int8 artifacts pin their calibration scales
+        (seeded from ``aot_meta.json``; ``recalibrate_every`` must be 0
+        and :meth:`calibrate` is rejected — the frozen math cannot
+        follow new scales).  Single-device pure-jit modes only.
       clip_warn_ratio: int8 mode: before each scene, probe its
         activation ranges against the calibrated scales
         (infer/quant.clip_report on the corner/center crops) and warn
@@ -107,7 +125,9 @@ class ScenePredictor:
                  clip_warn_ratio: float = 1.0,
                  overlap_band_rows: int = 0,
                  fullconv_band_rows: int = 0,
-                 fullconv_stream: bool = False):
+                 fullconv_stream: bool = False,
+                 aot_dir: str | None = None,
+                 tracker=None):
         from fabric_tpu import checkpoint as ckpt
         from fabric_tpu.models import build_model
         from fabric_tpu.train.state import create_state
@@ -115,6 +135,7 @@ class ScenePredictor:
         self.cfg = cfg
         self.bucket = bucket
         self.mesh = mesh
+        self.tracker = tracker
         self.shard_scene = shard_scene
         self.multi_date = cfg.model in ("unet_lstm", "unet3d")
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -225,6 +246,7 @@ class ScenePredictor:
             self._compiled = {}
             log.info("loaded serving bundle %s (model=%s quant=%s)",
                      bundle, bmodel, self.quant)
+            self._init_aot(aot_dir)
             return
 
         model = build_model(cfg)
@@ -285,6 +307,50 @@ class ScenePredictor:
             self.variables = {"params": state.params,
                               "batch_stats": state.batch_stats}
         self._compiled: dict[tuple[int, int], object] = {}
+        self._init_aot(aot_dir)
+
+    def _init_aot(self, aot_dir: str | None) -> None:
+        """Validate + adopt an AOT serving artifact (infer/aot.py): check
+        it was frozen from THIS serving configuration, and for int8 seed
+        the pinned calibration scales so the clip probe and any
+        fallback-jit bucket stay consistent with the frozen math."""
+        self.aot_dir = aot_dir
+        if not aot_dir:
+            return
+        from fabric_tpu.infer import aot as _aot
+        if self.fullconv_stream or self.shard_scene or self.mesh is not None:
+            raise ValueError(
+                "aot_dir serves the single-device pure-jit modes; "
+                "streamed/sharded runners do per-band host work and must "
+                "stay in-process (the same modes export_aot rejects)")
+        meta = _aot.read_meta(aot_dir)
+        for field, mine in (("model", self.cfg.model),
+                            ("quant", self.quant),
+                            ("fullconv_band_rows", self.fullconv_band_rows)):
+            theirs = meta.get(field)
+            if theirs != mine:
+                raise ValueError(
+                    f"AOT artifact {aot_dir} was frozen with "
+                    f"{field}={theirs!r}; this predictor uses {mine!r} — "
+                    f"served masks would silently diverge from the "
+                    f"artifact's math")
+        if self.quant == "int8":
+            if self.recalibrate_every > 0:
+                raise ValueError(
+                    "AOT int8 artifacts pin the calibration scales frozen "
+                    "at export; recalibrate_every > 0 would mutate the "
+                    "in-process scales away from them")
+            scales = meta.get("int8_scales")
+            if not scales:
+                raise ValueError(
+                    f"AOT artifact {aot_dir} is int8 but records no "
+                    "pinned scales (re-export with infer/aot.export_aot)")
+            from fabric_tpu.infer import quant as q
+            self.model = q.make_int8_apply(
+                self.variables["params"], scales, self.dtype,
+                local_upsample=bool(self.fullconv_band_rows),
+                model=self.cfg.model)
+            self._scales = dict(scales)
 
     def calibrate(self, batches) -> None:
         """Calibrate int8 activation scales — on (d1, d2) NHWC batch pairs
@@ -293,6 +359,12 @@ class ScenePredictor:
         and swap the serving forward to the quantized path.  Clears
         compiled runners."""
         from fabric_tpu.infer import quant as q
+        if getattr(self, "aot_dir", None):
+            raise ValueError(
+                "this predictor serves a frozen AOT artifact whose int8 "
+                "scales are pinned (aot_meta.json); recalibrating would "
+                "diverge the in-process math from it — export a new "
+                "artifact instead (infer/aot.export_aot)")
         local_up = bool(self.fullconv_band_rows)
         if getattr(self, "_stats_fwd", None) is None:
             self._stats_fwd = q.make_stats_forward(
@@ -384,6 +456,56 @@ class ScenePredictor:
                     "headroom", self._scenes_predicted, site,
                     report[site], len(report))
 
+    def serving_mode(self) -> str:
+        """Human-readable name of the configured serving mode."""
+        if self.fullconv_band_rows:
+            if self.fullconv_stream:
+                return "fullconv_stream"
+            return ("sharded_fullconv" if self.shard_scene else "fullconv")
+        if self.shard_scene:
+            return "sharded_grid"
+        if self.overlap_band_rows:
+            return "banded_overlap"
+        if getattr(self.cfg, "infer_overlap", 0):
+            return "overlap"
+        return "grid"
+
+    def _record_scene(self, scene_id, dims, runner_key, compiled_new,
+                      wall_s, pipelined: bool = False) -> None:
+        """Stream one served scene's record through the tracker (no-op
+        without one): the serving-side observability the reference did
+        via per-scene comet logging (utils/inference.py:107-131)."""
+        if self.tracker is None:
+            return
+        h, w = dims
+        rec = {
+            "scene": scene_id,
+            "height": h, "width": w,
+            "bucket_h": runner_key[0], "bucket_w": runner_key[1],
+            "compiled": bool(compiled_new),
+            "wall_ms": round(wall_s * 1000.0, 2),
+            "mpx_per_sec": round(h * w / wall_s / 1e6, 3),
+            "mode": self.serving_mode(),
+            "quant": self.quant,
+            "aot": bool(getattr(self, "aot_dir", None)),
+        }
+        if pipelined:
+            # predict_many keeps several scenes in flight: this scene's
+            # wall clock overlaps its neighbors' compute
+            rec["pipelined"] = True
+        if self.quant == "int8" and self.last_clip_report:
+            site = max(self.last_clip_report, key=self.last_clip_report.get)
+            rec["clip_worst_site"] = site
+            rec["clip_worst_ratio"] = round(self.last_clip_report[site], 3)
+        self.tracker.log_metrics(rec, step=self._scenes_predicted,
+                                 prefix="serve_")
+
+    def _runner_key(self, h: int, w: int) -> tuple[int, int]:
+        """The _compiled key predict will use for an (h, w) scene."""
+        if self.fullconv_stream:
+            return (h, w)
+        return self._bucket_dims(h, w)
+
     def _bucket_dims(self, h: int, w: int) -> tuple[int, int]:
         """Padded (H, W) for this scene under the bucket policy."""
         patch = self.cfg.patch_size
@@ -395,6 +517,15 @@ class ScenePredictor:
     def _get_runner(self, h: int, w: int):
         key = (h, w)
         if key not in self._compiled:
+            if getattr(self, "aot_dir", None):
+                from fabric_tpu.infer.aot import load_aot
+                loaded = load_aot(self.aot_dir, h, w)
+                if loaded is not None:
+                    self._compiled[key] = loaded
+                    return loaded
+                log.warning("no AOT artifact for bucket %dx%d in %s; "
+                            "falling back to in-process jit", h, w,
+                            self.aot_dir)
             log.info("compiling scene runner for %dx%d", h, w)
             if (self.multi_date and self.fullconv_band_rows
                     and self.fullconv_stream):
@@ -500,16 +631,23 @@ class ScenePredictor:
                     f"{self._oom_advice()}") from e
             raise
 
-    def predict(self, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    def predict(self, d1: np.ndarray, d2: np.ndarray,
+                scene_id: str | None = None) -> np.ndarray:
         """(H, W, C) scene pair -> (H, W) uint8 change mask."""
         if self.multi_date:
             raise ValueError("this predictor serves a multi-date model; "
                              "use predict_multidate((T, H, W, C))")
+        t0 = time.perf_counter()
         if self.quant == "int8":
             self._int8_scene_prologue(self._calibration_crops(d1, d2))
         self._scenes_predicted += 1
+        key = self._runner_key(*d1.shape[:2])
+        fresh = key not in self._compiled
         mask, h, w = self._dispatch(d1, d2)
-        return np.asarray(mask)[:h, :w]
+        out = np.asarray(mask)[:h, :w]
+        self._record_scene(scene_id, (h, w), key, fresh,
+                           time.perf_counter() - t0)
+        return out
 
     def _dispatch(self, d1, d2):
         """Pad/upload/start one scene run WITHOUT waiting for the result:
@@ -562,6 +700,15 @@ class ScenePredictor:
                              "predict_multidate for the T-date variants")
         results: list[np.ndarray] = []
         pending: deque = deque()
+
+        def drain():
+            m, h, w, key, fresh, t0 = pending.popleft()
+            results.append(np.asarray(m)[:h, :w])
+            # wall clock overlaps the other in-flight scenes' compute —
+            # recorded with pipelined=True so readers don't sum it
+            self._record_scene(None, (h, w), key, fresh,
+                               time.perf_counter() - t0, pipelined=True)
+
         for d1, d2 in pairs:
             if self.quant == "int8":
                 # the calibration-cadence/clip-probe machinery in
@@ -569,37 +716,46 @@ class ScenePredictor:
                 # sequentially through it
                 results.append(self.predict(d1, d2))
                 continue
+            t0 = time.perf_counter()
             self._scenes_predicted += 1
-            pending.append(self._dispatch(d1, d2))
+            key = self._runner_key(*d1.shape[:2])
+            fresh = key not in self._compiled
+            pending.append((*self._dispatch(d1, d2), key, fresh, t0))
             while len(pending) >= max(window, 1) + 1:
-                m, h, w = pending.popleft()
-                results.append(np.asarray(m)[:h, :w])
+                drain()
         while pending:
-            m, h, w = pending.popleft()
-            results.append(np.asarray(m)[:h, :w])
+            drain()
         return results
 
-    def predict_multidate(self, scenes: np.ndarray) -> np.ndarray:
+    def predict_multidate(self, scenes: np.ndarray,
+                          scene_id: str | None = None) -> np.ndarray:
         """(T, H, W, C) date stack -> (H, W) uint8 change mask (the
         UNetLSTM / 3D U-Net serving path)."""
         if not self.multi_date:
             raise ValueError("predict_multidate requires a multi-date "
                              "model (cfg.model unet_lstm/unet3d)")
+        t0 = time.perf_counter()
         if self.quant == "int8":
             self._int8_scene_prologue(
                 self._calibration_crops_multidate(scenes))
         self._scenes_predicted += 1
         t, h, w = scenes.shape[:3]
+        key = self._runner_key(h, w)
+        fresh = key not in self._compiled
         if self.fullconv_stream:
             run = self._get_runner(h, w)
-            return self._run_guarded(run, scenes)
-        ph, pw = self._bucket_dims(h, w)
-        if (ph, pw) != (h, w):
-            pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
-            scenes = np.pad(scenes, pads, mode="edge")
-        run = self._get_runner(ph, pw)
-        mask = self._run_guarded(run, jnp.asarray(scenes, self.dtype))
-        return np.asarray(mask)[:h, :w]
+            out = self._run_guarded(run, scenes)
+        else:
+            ph, pw = self._bucket_dims(h, w)
+            if (ph, pw) != (h, w):
+                pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
+                scenes = np.pad(scenes, pads, mode="edge")
+            run = self._get_runner(ph, pw)
+            mask = self._run_guarded(run, jnp.asarray(scenes, self.dtype))
+            out = np.asarray(mask)[:h, :w]
+        self._record_scene(scene_id, (h, w), key, fresh,
+                           time.perf_counter() - t0)
+        return out
 
     def predict_city(self, city: str) -> np.ndarray:
         from fabric_tpu.data.oscd import load_city
@@ -609,5 +765,6 @@ class ScenePredictor:
         stacked = load_city(self.cfg.dataset_dir, city, self.cfg,
                             out_shape=dims, num_dates=num_dates)
         if self.multi_date:
-            return self.predict_multidate(np.asarray(stacked))
-        return self.predict(stacked[0], stacked[1])
+            return self.predict_multidate(np.asarray(stacked),
+                                          scene_id=city)
+        return self.predict(stacked[0], stacked[1], scene_id=city)

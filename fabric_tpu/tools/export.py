@@ -156,13 +156,43 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True, help="output .npz bundle path")
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--headroom", type=float, default=1.0)
+    ap.add_argument("--aot_dir", default=None,
+                    help="ALSO freeze ahead-of-time scene runners "
+                         "(infer/aot.py) into this directory: serving "
+                         "hosts then skip tracing/lowering entirely "
+                         "(ScenePredictor(bundle=..., aot_dir=...))")
+    ap.add_argument("--aot_scene", action="append", default=None,
+                    metavar="HxW",
+                    help="scene shape(s) to freeze runners for "
+                         "(repeatable, e.g. --aot_scene 10980x10980); "
+                         "required with --aot_dir")
+    ap.add_argument("--aot_platform", action="append", default=None,
+                    help="target platform(s) for the artifact (default "
+                         "tpu; jax.export lowers cross-platform, so a "
+                         "CPU box can emit TPU artifacts)")
+    ap.add_argument("--aot_bucket", type=int, default=512,
+                    help="bucket size the artifact is keyed by (must "
+                         "match the serving ScenePredictor's bucket=)")
     args, rest = ap.parse_known_args(
         sys.argv[1:] if argv is None else argv)
     cfg = load_config(argv=rest)  # handles --config/--resume/overrides
     if not cfg.resume:
         ap.error("--resume <checkpoint or run dir> is required")
+    if args.aot_dir and not args.aot_scene:
+        ap.error("--aot_dir needs at least one --aot_scene HxW")
     meta = export_bundle(cfg, cfg.resume, args.out, quant=args.quant,
                          headroom=args.headroom)
+    if args.aot_dir:
+        from fabric_tpu.infer.aot import export_aot
+        from fabric_tpu.infer.service import ScenePredictor
+        shapes = []
+        for s in args.aot_scene:
+            h, w = s.lower().split("x")
+            shapes.append((int(h), int(w)))
+        pred = ScenePredictor(cfg, bundle=args.out, bucket=args.aot_bucket)
+        aot_meta = export_aot(pred, args.aot_dir, shapes,
+                              platforms=tuple(args.aot_platform or ["tpu"]))
+        meta = dict(meta, aot=aot_meta)
     print(json.dumps(meta))
     return 0
 
