@@ -32,19 +32,40 @@ def _sharding_for(sharding, item):
 
 
 class PatchSampler:
-    """Crops + augments patches from the full in-RAM dataset dict."""
+    """Crops + augments patches from the full in-RAM dataset dict.
+
+    ``compat_aug_stream``: a ``random.Random`` instance — augmentation
+    decisions then consume the python-``random`` stream SEQUENTIALLY with
+    the reference's exact draw order (``randint(0, 3)`` for the rotation,
+    two ``random() > 0.5`` for the flips, per sample in materialization
+    order — /root/reference/utils/dataloaders.py:148-165), so a seeded
+    stream reproduces the reference's augmented patches bit-for-bit (the
+    aug-on loop-parity harness).  Sequential consumption is inherently
+    single-process; default None = per-row keyed numpy RNG (any process
+    count, any skip offset)."""
 
     def __init__(self, dataset: dict, metadata: list, patch_size: int,
-                 augment: bool, seed: int = 0, multi_date: bool = False):
+                 augment: bool, seed: int = 0, multi_date: bool = False,
+                 compat_aug_stream=None):
         self.dataset = dataset
         self.metadata = list(metadata)
         self.patch_size = patch_size
         self.augment = augment
         self.multi_date = multi_date
         self.rng = np.random.RandomState(seed)
+        self.compat_aug_stream = compat_aug_stream
 
     def __len__(self) -> int:
         return len(self.metadata)
+
+    def _aug_decisions(self):
+        """(k, flip_h, flip_w) from the configured RNG, in the reference's
+        draw order."""
+        if self.compat_aug_stream is not None:
+            st = self.compat_aug_stream
+            return st.randint(0, 3), st.random() > 0.5, st.random() > 0.5
+        return (self.rng.randint(0, 4), self.rng.rand() > 0.5,
+                self.rng.rand() > 0.5)
 
     def _crop(self, index: int):
         city, x, y = self.metadata[index]
@@ -53,14 +74,14 @@ class PatchSampler:
         img = entry["images"][:, x:x + s, y:y + s, :]
         lbl = entry["labels"][x:x + s, y:y + s]
         if self.augment:
-            k = self.rng.randint(0, 4)
+            k, flip_h, flip_w = self._aug_decisions()
             if k:
                 img = np.rot90(img, k, axes=(1, 2))
                 lbl = np.rot90(lbl, k, axes=(0, 1))
-            if self.rng.rand() > 0.5:
+            if flip_h:
                 img = np.flip(img, axis=1)
                 lbl = np.flip(lbl, axis=0)
-            if self.rng.rand() > 0.5:
+            if flip_w:
                 img = np.flip(img, axis=2)
                 lbl = np.flip(lbl, axis=1)
         return img, lbl
@@ -105,6 +126,19 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     if batch_size % process_count:
         raise ValueError(f"global batch_size {batch_size} not divisible by "
                          f"process_count {process_count}")
+    compat_stream = getattr(sampler, "compat_aug_stream", None)
+    if compat_stream is not None and sampler.augment:
+        if process_count != 1:
+            raise ValueError(
+                "compat_aug_stream consumes one sequential python-random "
+                "stream (the reference's aug semantics) — single-process "
+                "only; use the default keyed-RNG augmentation for "
+                "multi-process runs")
+        if skip_batches:
+            # mid-epoch fast-forward: every skipped row consumed exactly
+            # the (randint, random, random) triple — replay it so batch b
+            # is bit-identical whether or not 0..b-1 were materialized
+            replay_aug_draws(compat_stream, skip_batches * batch_size)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
@@ -148,13 +182,38 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
 
 def _sample(sampler: PatchSampler, index: int, rng):
     """sampler.sample with a per-row RNG override (multi-process
-    determinism: the same global row augments identically on any process)."""
+    determinism: the same global row augments identically on any process).
+    A compat_aug_stream sampler ignores the override — its draws are
+    sequential by design."""
     saved = sampler.rng
     sampler.rng = rng
     try:
         return sampler.sample(index)
     finally:
         sampler.rng = saved
+
+
+def replay_aug_draws(stream, rows: int) -> None:
+    """Fast-forward a compat augmentation stream past ``rows`` samples by
+    replaying the reference's exact per-sample draw sequence (randint +
+    2x random — consuming the same Mersenne-Twister words matters, a
+    plain skip-count would desynchronize)."""
+    for _ in range(rows):
+        stream.randint(0, 3)
+        stream.random()
+        stream.random()
+
+
+def epoch_train_rows(n_samples: int, batch_size: int,
+                     max_batches: int = 0) -> int:
+    """Rows one epoch's batch_iterator materializes (wrap-pad included) —
+    how far the compat aug stream advances per completed epoch (used to
+    fast-forward it on resume)."""
+    pad = (-n_samples) % batch_size
+    nb = (n_samples + pad) // batch_size
+    if max_batches:
+        nb = min(nb, max_batches)
+    return nb * batch_size
 
 
 def prefetch_to_device(iterator: Iterator[dict], size: int = 2,

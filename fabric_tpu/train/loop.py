@@ -390,6 +390,27 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
     from fabric_tpu.parallel.distributed import is_primary
     primary = is_primary()
 
+    # compat_reference + augmentation: consume the reference's exact
+    # sequential python-random augmentation stream
+    # (dataloaders.py:153-163) instead of the keyed per-row RNG, so the
+    # aug-on loop-parity harness compares identical patches.  The stream
+    # spans epochs (the reference never reseeds); on resume, fast-forward
+    # it past the completed epochs' draws.
+    compat_aug = None
+    if cfg.augmentation and cfg.compat_reference:
+        if pcount == 1:
+            import random as pyrandom
+            from fabric_tpu.data.pipeline import (replay_aug_draws,
+                                                  epoch_train_rows)
+            compat_aug = pyrandom.Random(cfg.seed)
+            if start_epoch:
+                replay_aug_draws(compat_aug, start_epoch * epoch_train_rows(
+                    len(train_md), cfg.batch_size, cfg.steps_per_epoch))
+        else:
+            log.warning("compat_reference augmentation stream is "
+                        "single-process only; multi-process run keeps the "
+                        "keyed per-row augmentation RNG")
+
     for epoch in range(start_epoch, cfg.epochs):
         if guard is not None and guard.requested:
             # signal landed between epochs (val / scene inference): the
@@ -420,7 +441,8 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
         sampler = PatchSampler(data, train_md, cfg.patch_size,
                                augment=cfg.augmentation,
                                seed=cfg.seed + epoch,
-                               multi_date=multi_date)
+                               multi_date=multi_date,
+                               compat_aug_stream=compat_aug)
         batches = prefetch_to_device(
             batch_iterator(sampler, cfg.batch_size,
                            shuffle=cfg.shuffle_train,

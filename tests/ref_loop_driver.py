@@ -191,6 +191,14 @@ def main():
     dl.Pool = _SerialPool
     dl.random.shuffle = lambda x: None
 
+    # seed the global python-random stream the reference's augmentation
+    # draws from (dataloaders.py:153-163): with the loader shuffle stubbed
+    # above, the ONLY consumers are the per-sample (randint, random,
+    # random) aug triples, in materialization order — which the JAX side
+    # reproduces via PatchSampler(compat_aug_stream=random.Random(seed))
+    import random as _pyrandom
+    _pyrandom.seed(0)
+
     _RealDL = torch.utils.data.DataLoader
 
     class _DeterministicLoader(_RealDL):

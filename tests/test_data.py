@@ -131,3 +131,95 @@ def test_metadata_from_dataset_matches_disk(dataset_dir):
     disk = get_train_val_metadata(dataset_dir, ["gamma"], 32, 32)
     mem = metadata_from_dataset(data, ["gamma"], 32, 32)
     assert mem == disk
+
+
+def test_compat_aug_stream_matches_reference_loader(dataset_dir):
+    """PatchSampler(compat_aug_stream=...) reproduces the reference's
+    augmented patches BIT-FOR-BIT from the same seeded python-random
+    stream: the two sides draw (randint(0,3), random(), random()) per
+    sample in the same order and apply the same rot90/flip sequence
+    (/root/reference/utils/dataloaders.py:148-165 — re-implemented here
+    as a numpy oracle in the reference's (2, C, H, W) layout; no
+    reference code imported)."""
+    import random as pyrandom
+
+    from fabric_tpu.data.oscd import full_load
+    from fabric_tpu.data.pipeline import PatchSampler
+
+    cfg = Config(dataset_dir=dataset_dir, patch_size=16)
+    data = full_load(dataset_dir, cfg)
+    city = sorted(data)[0]
+    md = [(city, 0, 0), (city, 16, 16), (city, 0, 16), (city, 16, 0)] * 3
+
+    def reference_loader(dataset, city, x, y, size, stream):
+        # the reference's onera_siamese_loader math on its (2, C, H, W)
+        # tensors, with `random` replaced by the passed stream
+        chw = dataset[city]["images"].transpose(0, 3, 1, 2)
+        out_img = np.copy(chw[:, :, x:x + size, y:y + size])
+        out_lbl = np.copy(dataset[city]["labels"][x:x + size, y:y + size])
+        rot_deg = stream.randint(0, 3)
+        out_img = np.rot90(out_img, rot_deg, [2, 3]).copy()
+        out_lbl = np.rot90(out_lbl, rot_deg, [0, 1]).copy()
+        if stream.random() > 0.5:
+            out_img = np.flip(out_img, axis=2).copy()
+            out_lbl = np.flip(out_lbl, axis=0).copy()
+        if stream.random() > 0.5:
+            out_img = np.flip(out_img, axis=3).copy()
+            out_lbl = np.flip(out_lbl, axis=1).copy()
+        return out_img[0], out_img[1], out_lbl
+
+    sampler = PatchSampler(data, md, 16, augment=True,
+                           compat_aug_stream=pyrandom.Random(42))
+    oracle_stream = pyrandom.Random(42)
+    for i in range(len(md)):
+        a, b, lbl = sampler.sample(i)
+        city_i, x, y = md[i]
+        ra, rb, rlbl = reference_loader(data, city_i, x, y, 16,
+                                        oracle_stream)
+        # ours is NHWC; the oracle is CHW
+        np.testing.assert_array_equal(a.transpose(2, 0, 1), ra, err_msg=f"sample {i} d1")
+        np.testing.assert_array_equal(b.transpose(2, 0, 1), rb, err_msg=f"sample {i} d2")
+        np.testing.assert_array_equal(lbl, rlbl, err_msg=f"sample {i} label")
+
+
+def test_compat_aug_stream_skip_batches_bit_identical(dataset_dir):
+    """Mid-epoch resume with the compat stream: skipping the first N
+    batches replays their draws, so batch N is bit-identical to the
+    uninterrupted iteration's."""
+    import random as pyrandom
+
+    from fabric_tpu.data.oscd import full_load
+    from fabric_tpu.data.pipeline import PatchSampler, batch_iterator
+
+    cfg = Config(dataset_dir=dataset_dir, patch_size=16)
+    data = full_load(dataset_dir, cfg)
+    city = sorted(data)[0]
+    md = [(city, 0, 0), (city, 16, 16), (city, 0, 16), (city, 16, 0)] * 2
+
+    def run(skip):
+        sampler = PatchSampler(data, md, 16, augment=True,
+                               compat_aug_stream=pyrandom.Random(3))
+        return list(batch_iterator(sampler, 4, shuffle=False,
+                                   skip_batches=skip))
+
+    full = run(0)
+    tail = run(1)
+    assert len(full) == 2 and len(tail) == 1
+    for k in full[1]:
+        np.testing.assert_array_equal(full[1][k], tail[0][k])
+
+
+def test_compat_aug_stream_rejects_multiprocess(dataset_dir):
+    import random as pyrandom
+
+    from fabric_tpu.data.oscd import full_load
+    from fabric_tpu.data.pipeline import PatchSampler, batch_iterator
+
+    cfg = Config(dataset_dir=dataset_dir, patch_size=16)
+    data = full_load(dataset_dir, cfg)
+    city = sorted(data)[0]
+    sampler = PatchSampler(data, [(city, 0, 0)] * 4, 16, augment=True,
+                           compat_aug_stream=pyrandom.Random(0))
+    with pytest.raises(ValueError, match="single-process"):
+        list(batch_iterator(sampler, 4, shuffle=False, process_index=0,
+                            process_count=2))

@@ -19,6 +19,15 @@ initialization on the same synthetic OSCD-layout dataset, and assert:
   pipelines produce the same, correctly-oriented mask.  Proven here on a
   70x140 scene.
 
+The harness runs with ``augmentation=true`` — the reference's DEFAULT
+config (metadata.json:34; r3 VERDICT missing #2): the driver seeds the
+global python-random stream the reference's per-sample (randint, random,
+random) augmentation draws consume (dataloaders.py:153-163), and our
+loop's ``compat_reference`` mode replays the identical stream through
+``PatchSampler(compat_aug_stream=...)`` — so the compared trajectories
+include the reference's actual augmentation math, not just its static
+crops.
+
 With no egress (real OSCD unreachable) this is the strongest available
 evidence for the "F1 within 1%" north star: the loops are the same math.
 """
@@ -82,7 +91,7 @@ def parity_run(tmp_path_factory):
         "band_means": cfg.band_means,
         "band_stds": cfg.band_stds,
         "stretch_8bit": {"lower": 2, "higher": 98},
-        "patch_size": PATCH, "stride": STRIDE, "augmentation": False,
+        "patch_size": PATCH, "stride": STRIDE, "augmentation": True,
         "num_gpus": 0, "num_workers": 0,
         "epochs": EPOCHS, "batch_size": BATCH, "learning_rate": 0.001,
         "loss_function": "tversky", "tversky_alpha": 0.1,
@@ -117,7 +126,7 @@ def parity_run(tmp_path_factory):
         dataset_dir=data_dir, patch_size=PATCH, stride=STRIDE,
         batch_size=BATCH, epochs=EPOCHS, learning_rate=0.001,
         loss_function="tversky", tversky_alpha=0.1, tversky_beta=0.9,
-        augmentation=False, shuffle_train=False, dtype="float32",
+        augmentation=True, shuffle_train=False, dtype="float32",
         compat_reference=True, validation_cities=list(VAL_CITIES),
         weight_dir=str(root / "weights"), log_dir=str(root / "log"),
         num_workers=0)
