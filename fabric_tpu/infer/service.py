@@ -169,6 +169,14 @@ class ScenePredictor:
             if shard_scene and self.multi_date:
                 raise ValueError("sharded fullconv serves the bidate "
                                  "model only")
+            if cfg.model == "unet3d" and (quant == "int8"):
+                # measured r4 (BASELINE.md): int8 3D convs at full scene
+                # width run ~40% SLOWER than bf16 (13.7 vs 22.8 Mpx/s @
+                # band 512) — the opposite of every other int8 mode
+                log.warning("unet3d int8 fullconv measured SLOWER than "
+                            "bf16 on the v5e (13.7 vs 22.8 Mpx/s, "
+                            "BASELINE.md); consider quant='none' for "
+                            "this mode")
         if overlap_band_rows:
             if not getattr(cfg, "infer_overlap", 0):
                 raise ValueError("overlap_band_rows requires "
@@ -739,23 +747,65 @@ class ScenePredictor:
             self._int8_scene_prologue(
                 self._calibration_crops_multidate(scenes))
         self._scenes_predicted += 1
-        t, h, w = scenes.shape[:3]
-        key = self._runner_key(h, w)
+        key = self._runner_key(*scenes.shape[1:3])
         fresh = key not in self._compiled
-        if self.fullconv_stream:
-            run = self._get_runner(h, w)
-            out = self._run_guarded(run, scenes)
-        else:
-            ph, pw = self._bucket_dims(h, w)
-            if (ph, pw) != (h, w):
-                pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
-                scenes = np.pad(scenes, pads, mode="edge")
-            run = self._get_runner(ph, pw)
-            mask = self._run_guarded(run, jnp.asarray(scenes, self.dtype))
-            out = np.asarray(mask)[:h, :w]
+        mask, h, w = self._dispatch_multidate(scenes)
+        out = np.asarray(mask)[:h, :w]
         self._record_scene(scene_id, (h, w), key, fresh,
                            time.perf_counter() - t0)
         return out
+
+    def _dispatch_multidate(self, scenes):
+        """Pad/upload/start one (T, H, W, C) scene run without waiting
+        (the multi-date analogue of :meth:`_dispatch`)."""
+        t, h, w = scenes.shape[:3]
+        if self.fullconv_stream:
+            run = self._get_runner(h, w)
+            return self._run_guarded(run, scenes), h, w
+        ph, pw = self._bucket_dims(h, w)
+        if (ph, pw) != (h, w):
+            pads = [(0, 0), (0, ph - h), (0, pw - w), (0, 0)]
+            scenes = np.pad(scenes, pads, mode="edge")
+        run = self._get_runner(ph, pw)
+        return self._run_guarded(
+            run, jnp.asarray(scenes, self.dtype)), h, w
+
+    def predict_many_multidate(self, stacks, window: int = 2) -> list:
+        """Serve a sequence of (T, H, W, C) date stacks with cross-scene
+        pipelining — the multi-date analogue of :meth:`predict_many`:
+        bit-identical to ``[predict_multidate(s) for s in stacks]``, with
+        up to ``window`` scenes in flight (int8 serves sequentially
+        through the calibration/clip machinery, like predict_many)."""
+        from collections import deque
+
+        if not self.multi_date:
+            raise ValueError("predict_many_multidate requires a "
+                             "multi-date model; use predict_many for "
+                             "bi-date pairs")
+        results: list[np.ndarray] = []
+        pending: deque = deque()
+
+        def drain():
+            m, h, w, key, fresh, t0 = pending.popleft()
+            results.append(np.asarray(m)[:h, :w])
+            self._record_scene(None, (h, w), key, fresh,
+                               time.perf_counter() - t0, pipelined=True)
+
+        for scenes in stacks:
+            if self.quant == "int8":
+                results.append(self.predict_multidate(scenes))
+                continue
+            t0 = time.perf_counter()
+            self._scenes_predicted += 1
+            key = self._runner_key(*scenes.shape[1:3])
+            fresh = key not in self._compiled
+            pending.append((*self._dispatch_multidate(scenes), key, fresh,
+                            t0))
+            while len(pending) >= max(window, 1) + 1:
+                drain()
+        while pending:
+            drain()
+        return results
 
     def predict_city(self, city: str) -> np.ndarray:
         from fabric_tpu.data.oscd import load_city

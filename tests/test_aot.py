@@ -177,3 +177,18 @@ def test_export_cli_emits_aot(cfg, tmp_path):
     base = ScenePredictor(cfg, bundle=out, bucket=32)
     np.testing.assert_array_equal(served.predict(d1, d2),
                                   base.predict(d1, d2))
+
+
+def test_multidate_aot_bit_identity(tmp_path):
+    """Multi-date runners freeze too (export_scene_runner's num_dates
+    signature): a UNetLSTM artifact serves masks bit-identical to the
+    in-process predictor."""
+    lstm = Config(patch_size=16, dtype="float32", model_base=8,
+                  model="unet_lstm", num_dates=3, eval_batch_size=8)
+    rng = np.random.RandomState(12)
+    stack = rng.randn(3, 40, 56, 13).astype(np.float32)
+    base = ScenePredictor(lstm, bucket=32)
+    export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",))
+    served = ScenePredictor(lstm, bucket=32, aot_dir=str(tmp_path))
+    np.testing.assert_array_equal(served.predict_multidate(stack),
+                                  base.predict_multidate(stack))

@@ -275,3 +275,28 @@ def test_serving_metrics_int8_clip_fields(tmp_path):
     assert "serve_clip_worst_site" not in recs[0]  # scene 0 calibrated
     assert recs[1]["serve_clip_worst_site"]        # scene 1 probed
     assert recs[1]["serve_clip_worst_ratio"] > 0
+
+
+def test_predict_many_multidate_matches_sequential():
+    """Pipelined multi-date fleet serving is bit-identical to sequential
+    predict_multidate calls, mixed shapes included."""
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model="unet_lstm", model_base=8, num_dates=3)
+    pred = ScenePredictor(cfg, bucket=32)
+    rng = np.random.RandomState(21)
+    stacks = [rng.randn(3, *shape, 13).astype(np.float32)
+              for shape in [(40, 50), (30, 30), (40, 50)]]
+    seq = [pred.predict_multidate(s) for s in stacks]
+    fleet = pred.predict_many_multidate(stacks, window=2)
+    assert len(fleet) == len(seq)
+    for a, b in zip(fleet, seq):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_predict_many_multidate_rejects_bidate():
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    pred = ScenePredictor(cfg, bucket=32)
+    with pytest.raises(ValueError, match="multi-date"):
+        pred.predict_many_multidate([np.zeros((2, 32, 32, 13),
+                                              np.float32)])

@@ -52,3 +52,23 @@ def test_cli_gate_pass_and_fail(env, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert rc == 1
     assert lines[-1]["summary"] == "FAIL"
+
+
+def test_validate_multidate(tmp_path):
+    """The gate covers the multi-date variants too (predict_city
+    dispatches to predict_multidate; int8 via quant_multidate): reports
+    and the agreement gate work for a UNetLSTM checkpoint."""
+    cfg = Config(dataset_dir=str(tmp_path / "data"),
+                 weight_dir=str(tmp_path / "w"), patch_size=16,
+                 dtype="float32", model="unet_lstm", model_base=8,
+                 num_dates=3, validation_cities=["alpha"],
+                 resume=str(tmp_path / "w"))
+    generate_synthetic_dataset(cfg.dataset_dir, cfg, cities=["alpha"],
+                               sizes=[(64, 48)], num_dates=3)
+    state = create_state(cfg, build_model(cfg))
+    ckpt.save(state, cfg.weight_dir, epoch=0)
+    reports, ok = validate(cfg, cities=["alpha"], max_f1_drop=1.0,
+                           min_agreement=0.0)
+    assert len(reports) == 1 and reports[0]["city"] == "alpha"
+    assert 0.0 <= reports[0]["mask_agreement"] <= 1.0
+    assert "f1_delta" in reports[0]
