@@ -100,13 +100,23 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
                    pad_mode: str = "wrap", seed: int = 0,
                    max_batches: int = 0, process_index: int = 0,
                    process_count: int = 1,
-                   skip_batches: int = 0) -> Iterator[dict]:
+                   skip_batches: int = 0,
+                   ragged_tail: bool = False) -> Iterator[dict]:
     """Yield {'img1','img2','label','weight'} numpy batches of fixed shape.
 
     ``batch_size`` is the GLOBAL batch size.  pad_mode 'wrap': short
     remainder is filled with wrapped-around samples, weight=1 everywhere
     (training).  pad_mode 'mask': remainder filled with repeats but weight=0
     so losses/metrics ignore them (eval).
+
+    ``ragged_tail`` (compat_reference training): emit the final short
+    batch RAGGED — len(sampler) % batch_size real rows, nothing else —
+    exactly like the reference's torch DataLoader (drop_last=False).
+    Fixed-shape padding cannot reproduce that batch bit-for-bit: wrap-pad
+    rows change the gradient AND consume extra compat-aug stream draws,
+    and even mask-pad rows enter the train-mode BatchNorm batch
+    statistics.  The cost is one extra jit compile for the tail shape;
+    single-process only (a ragged global batch does not shard).
 
     Multi-host: every process derives the identical global sample order from
     ``seed`` and materializes only its own ``batch_size/process_count``-row
@@ -126,6 +136,10 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
     if batch_size % process_count:
         raise ValueError(f"global batch_size {batch_size} not divisible by "
                          f"process_count {process_count}")
+    if ragged_tail and process_count != 1:
+        raise ValueError("ragged_tail emits a final batch of "
+                         "len(sampler) % batch_size rows — it does not "
+                         "shard across processes")
     compat_stream = getattr(sampler, "compat_aug_stream", None)
     if compat_stream is not None and sampler.augment:
         if process_count != 1:
@@ -134,31 +148,53 @@ def batch_iterator(sampler: PatchSampler, batch_size: int, shuffle: bool,
                 "stream (the reference's aug semantics) — single-process "
                 "only; use the default keyed-RNG augmentation for "
                 "multi-process runs")
+        nb_full = n // batch_size
+        if (n % batch_size and not ragged_tail
+                and not (max_batches and max_batches <= nb_full)):
+            # wrap-pad rows would consume (randint, random, random)
+            # triples the reference's ragged final batch never draws —
+            # from epoch 2 every augmentation decision would silently
+            # diverge.  The loop enables ragged_tail in compat mode; any
+            # other caller must choose explicitly.  (A max_batches cap
+            # that stops before the padded tail never materializes the
+            # pad rows, so no desync — allowed.)
+            raise ValueError(
+                f"compat_aug_stream with {n} samples % batch_size "
+                f"{batch_size} != 0 requires ragged_tail=True: padded "
+                f"rows would desynchronize the sequential augmentation "
+                f"stream from the reference's ragged final batch")
         if skip_batches:
-            # mid-epoch fast-forward: every skipped row consumed exactly
+            # mid-epoch fast-forward: each skipped row consumed exactly
             # the (randint, random, random) triple — replay it so batch b
-            # is bit-identical whether or not 0..b-1 were materialized
-            replay_aug_draws(compat_stream, skip_batches * batch_size)
+            # is bit-identical whether or not 0..b-1 were materialized.
+            # Skipped batches are full EXCEPT a skipped ragged tail (only
+            # ever the last batch): min() caps the replay at the epoch's
+            # real row count.
+            replay_aug_draws(compat_stream,
+                             min(skip_batches * batch_size, n)
+                             if ragged_tail else skip_batches * batch_size)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
-    pad = (-n) % batch_size
+    pad = 0 if ragged_tail else (-n) % batch_size
     weights = np.ones(n + pad, np.float32)
     if pad:
         order = np.concatenate([order, order[:pad]])
         if pad_mode == "mask":
             weights[n:] = 0.0
-    num_batches = len(order) // batch_size
+    num_batches = (len(order) + batch_size - 1) // batch_size \
+        if ragged_tail else len(order) // batch_size
     if max_batches:
         num_batches = min(num_batches, max_batches)
     ps = sampler.patch_size
-    local = batch_size // process_count
     # Augmentation RNG is keyed by (seed, global row position), NOT by a
     # shared sequential stream: every global batch is bit-identical no
     # matter how many processes materialize it (the multi-process parity
     # test relies on this).
     for b in range(skip_batches, num_batches):
-        lo = b * batch_size + process_index * local
+        full_lo = b * batch_size
+        local = min(batch_size, len(order) - full_lo) // process_count
+        lo = full_lo + process_index * local
         idx = order[lo:lo + local]
         label = np.empty((local, ps, ps), np.int32)
         w = weights[lo:lo + local].copy()
@@ -205,10 +241,17 @@ def replay_aug_draws(stream, rows: int) -> None:
 
 
 def epoch_train_rows(n_samples: int, batch_size: int,
-                     max_batches: int = 0) -> int:
-    """Rows one epoch's batch_iterator materializes (wrap-pad included) —
-    how far the compat aug stream advances per completed epoch (used to
-    fast-forward it on resume)."""
+                     max_batches: int = 0,
+                     ragged_tail: bool = False) -> int:
+    """Rows one epoch's batch_iterator materializes (wrap-pad included;
+    with ``ragged_tail`` the final batch is short, so a full epoch is
+    exactly ``n_samples`` rows) — how far the compat aug stream advances
+    per completed epoch (used to fast-forward it on resume)."""
+    if ragged_tail:
+        nb = (n_samples + batch_size - 1) // batch_size
+        if max_batches and max_batches < nb:
+            return max_batches * batch_size  # cap cuts before the tail
+        return n_samples
     pad = (-n_samples) % batch_size
     nb = (n_samples + pad) // batch_size
     if max_batches:

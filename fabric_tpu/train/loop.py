@@ -306,6 +306,24 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
             cfg.stride)
     log.info("train samples: %d  val samples: %d", len(train_md), len(val_md))
 
+    if (cfg.compat_reference and pcount == 1 and mesh.shape["data"] > 1
+            and len(train_md) % cfg.batch_size
+            and (not cfg.steps_per_epoch or cfg.steps_per_epoch
+                 >= -(-len(train_md) // cfg.batch_size))):
+        # the epoch will reach the reference's RAGGED final batch
+        # (drop_last=False); a ragged global batch does not shard over a
+        # data axis, and wrap-padding it instead would change the
+        # gradient, the train-BN batch statistics, and the compat aug
+        # stream's draw count.  compat_reference is the parity mode —
+        # collapse data parallelism rather than diverge silently.
+        from fabric_tpu.parallel.mesh import make_mesh
+        log.warning("compat_reference with %d samples %% batch_size %d "
+                    "!= 0 trains a ragged final batch; shrinking mesh "
+                    "data axis %d -> 1 (ragged batches do not shard)",
+                    len(train_md), cfg.batch_size, mesh.shape["data"])
+        mesh = make_mesh(1, mesh.shape["spatial"], mesh.shape["model"])
+        shardings = batch_shardings(mesh, multi_date=multi_date)
+
     model = build_model(cfg)
     loss_fn = get_loss_fn(cfg)
     state = create_state(cfg, model, variables=init_variables)
@@ -396,6 +414,18 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
     # aug-on loop-parity harness compares identical patches.  The stream
     # spans epochs (the reference never reseeds); on resume, fast-forward
     # it past the completed epochs' draws.
+    # compat_reference + a dataset that doesn't divide the batch: the
+    # reference's torch DataLoader trains a RAGGED final batch
+    # (drop_last=False) — wrap-pad rows would change its gradient, its
+    # train-mode BN batch statistics, AND over-consume the sequential
+    # augmentation stream.  Emit the tail ragged instead (one extra jit
+    # compile); needs the whole batch on one process / one data-mesh
+    # device (a ragged global batch does not shard).
+    compat_ragged = (cfg.compat_reference and pcount == 1
+                     and (mesh is None
+                          or dict(zip(mesh.axis_names,
+                                      mesh.devices.shape)).get("data", 1)
+                          == 1))
     compat_aug = None
     if cfg.augmentation and cfg.compat_reference:
         if pcount == 1:
@@ -405,7 +435,8 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
             compat_aug = pyrandom.Random(cfg.seed)
             if start_epoch:
                 replay_aug_draws(compat_aug, start_epoch * epoch_train_rows(
-                    len(train_md), cfg.batch_size, cfg.steps_per_epoch))
+                    len(train_md), cfg.batch_size, cfg.steps_per_epoch,
+                    ragged_tail=compat_ragged))
         else:
             log.warning("compat_reference augmentation stream is "
                         "single-process only; multi-process run keeps the "
@@ -449,7 +480,8 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
                            pad_mode="wrap", seed=cfg.seed + epoch,
                            max_batches=cfg.steps_per_epoch,
                            process_index=pidx, process_count=pcount,
-                           skip_batches=skip),
+                           skip_batches=skip,
+                           ragged_tail=compat_ragged),
             size=cfg.prefetch, sharding=shardings)
 
         callbacks = []

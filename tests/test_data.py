@@ -209,6 +209,78 @@ def test_compat_aug_stream_skip_batches_bit_identical(dataset_dir):
         np.testing.assert_array_equal(full[1][k], tail[0][k])
 
 
+def test_ragged_tail_batches_and_stream_draw_count(dataset_dir):
+    """compat_reference training on a dataset that doesn't divide the
+    batch: ``ragged_tail=True`` emits the final short batch exactly like
+    the reference's DataLoader (drop_last=False), and an epoch consumes
+    EXACTLY len(sampler) augmentation triples from the compat stream —
+    wrap-pad would over-draw and silently desynchronize epoch 2+."""
+    import random as pyrandom
+
+    from fabric_tpu.data.oscd import full_load
+    from fabric_tpu.data.pipeline import (PatchSampler, batch_iterator,
+                                          epoch_train_rows,
+                                          replay_aug_draws)
+
+    cfg = Config(dataset_dir=dataset_dir, patch_size=16)
+    data = full_load(dataset_dir, cfg)
+    city = sorted(data)[0]
+    md = [(city, 0, 0), (city, 16, 16), (city, 0, 16), (city, 16, 0),
+          (city, 0, 0), (city, 16, 0)]  # 6 samples, batch 4 -> 4 + 2
+
+    stream = pyrandom.Random(9)
+    sampler = PatchSampler(data, md, 16, augment=True,
+                           compat_aug_stream=stream)
+    batches = list(batch_iterator(sampler, 4, shuffle=False,
+                                  ragged_tail=True))
+    assert [b["label"].shape[0] for b in batches] == [4, 2]
+    assert all((b["weight"] == 1.0).all() for b in batches)
+    # the stream advanced by exactly 6 (randint, random, random) triples
+    oracle = pyrandom.Random(9)
+    replay_aug_draws(oracle, len(md))
+    assert stream.random() == oracle.random()
+    assert epoch_train_rows(len(md), 4, ragged_tail=True) == 6
+
+    # without ragged_tail the compat stream would desynchronize — loudly
+    # rejected, never silent
+    sampler2 = PatchSampler(data, md, 16, augment=True,
+                            compat_aug_stream=pyrandom.Random(9))
+    with pytest.raises(ValueError, match="ragged_tail"):
+        list(batch_iterator(sampler2, 4, shuffle=False))
+
+
+def test_ragged_tail_skip_batches_replay(dataset_dir):
+    """Mid-epoch resume composes with the ragged tail: skipping past it
+    replays only the real rows' draws (not a full batch's worth)."""
+    import random as pyrandom
+
+    from fabric_tpu.data.oscd import full_load
+    from fabric_tpu.data.pipeline import PatchSampler, batch_iterator
+
+    cfg = Config(dataset_dir=dataset_dir, patch_size=16)
+    data = full_load(dataset_dir, cfg)
+    city = sorted(data)[0]
+    md = [(city, 0, 0), (city, 16, 16), (city, 0, 16), (city, 16, 0),
+          (city, 0, 0), (city, 16, 0)]
+
+    def run(skip):
+        sampler = PatchSampler(data, md, 16, augment=True,
+                               compat_aug_stream=pyrandom.Random(5))
+        s = sampler.compat_aug_stream
+        batches = list(batch_iterator(sampler, 4, shuffle=False,
+                                      skip_batches=skip, ragged_tail=True))
+        return batches, s.random()  # stream position probe
+
+    full, pos_full = run(0)
+    tail_only, pos_tail = run(1)
+    done, pos_done = run(2)  # skip INCLUDES the ragged tail
+    assert len(tail_only) == 1 and not done
+    for k in full[1]:
+        np.testing.assert_array_equal(full[1][k], tail_only[0][k])
+    # every skip depth lands the stream at the same end-of-epoch position
+    assert pos_full == pos_tail == pos_done
+
+
 def test_compat_aug_stream_rejects_multiprocess(dataset_dir):
     import random as pyrandom
 

@@ -53,11 +53,16 @@ pytestmark = pytest.mark.skipif(
 from test_reference_parity import _transfer  # noqa: E402
 
 EPOCHS = 3
-PATCH, STRIDE, BATCH = 32, 32, 4
+PATCH, STRIDE, BATCH = 32, 32, 6
 VAL_CITIES = ["gamma"]
-# train: alpha 16 + beta 12 = 28 patches, val: gamma (70x140) -> 8; both
-# divisible by BATCH so neither side pads (torch's ragged final batch has
-# no wrap-pad analogue)
+# train: alpha 16 + beta 12 = 28 patches = 4 full batches + a RAGGED
+# 4-row tail; val: gamma (70x140) -> 8 = one full batch + a ragged 2-row
+# tail.  Deliberately NOT divisible by BATCH: torch's DataLoader trains
+# the short final batch as-is (drop_last=False), and our compat mode must
+# reproduce it exactly — ragged tail train batches (gradient + train-BN
+# stats + aug-stream draw count all differ under padding;
+# pipeline.batch_iterator ragged_tail) and mask-padded eval batches
+# (weighted loss/metrics equal the ragged means; eval-BN is per-sample).
 SIZES = [(128, 128), (96, 128), (70, 140)]
 
 
