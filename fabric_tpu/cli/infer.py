@@ -77,6 +77,33 @@ def main(argv=None) -> int:
     own, rest = extra.parse_known_args(argv)
 
     from fabric_tpu.config import load_config
+
+    cfg = load_config(argv=rest)
+    if not cfg.resume and not own.bundle:
+        print("error: --resume <checkpoint> is required "
+              "(or --bundle for the serving path)", file=sys.stderr)
+        return 2
+    tracker = None
+    if not own.no_tracker:
+        # serving observability (the reference logged every scene to its
+        # experiment tracker, utils/inference.py:107-131): per-scene
+        # serve_* records stream to <log_dir>/<run>/metrics.jsonl;
+        # created only after argument validation, and every exit path
+        # below closes it with a terminal status — a run left 'started'
+        # means the process died, exactly like the reference lifecycle
+        from fabric_tpu.track import Tracker
+        tracker = Tracker(cfg.log_dir, project="serve")
+        logging.info("serving metrics -> %s/metrics.jsonl", tracker.dir)
+    try:
+        return _serve(own, cfg, tracker)
+    except BaseException:
+        if tracker is not None:
+            tracker.set_status("failed")
+            tracker.close()
+        raise
+
+
+def _serve(own, cfg, tracker) -> int:
     from fabric_tpu import checkpoint as ckpt
     from fabric_tpu.infer.runner import infer_city
     from fabric_tpu.models import build_model
@@ -85,23 +112,10 @@ def main(argv=None) -> int:
     from fabric_tpu.train.steps import make_infer_step, make_infer_probs_step
     from fabric_tpu.utils.image import write_png
 
-    cfg = load_config(argv=rest)
     fast = (own.bundle is not None or own.quant == "int8"
             or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0
             or own.fullconv_stream or own.shard_scene
             or own.aot_dir is not None)
-    tracker = None
-    if not own.no_tracker:
-        # serving observability (the reference logged every scene to its
-        # experiment tracker, utils/inference.py:107-131): per-scene
-        # serve_* records stream to <log_dir>/<run>/metrics.jsonl
-        from fabric_tpu.track import Tracker
-        tracker = Tracker(cfg.log_dir, project="serve")
-        logging.info("serving metrics -> %s/metrics.jsonl", tracker.dir)
-    if not cfg.resume and not own.bundle:
-        print("error: --resume <checkpoint> is required "
-              "(or --bundle for the serving path)", file=sys.stderr)
-        return 2
     if fast:
         # fast serving path: ScenePredictor (BN-folded, split-concat,
         # optional int8, bucketed compile reuse, best-metric checkpoint,

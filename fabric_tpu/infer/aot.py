@@ -179,6 +179,7 @@ def export_aot(predictor, directory: str, scene_shapes,
                       else 0),
         "fullconv_band_rows": predictor.fullconv_band_rows,
         "platforms": list(platforms),
+        "weights_sha256": params_fingerprint(predictor.variables),
     }
     if predictor.quant == "int8":
         meta["int8_scales"] = {k: float(v)
@@ -190,3 +191,28 @@ def export_aot(predictor, directory: str, scene_shapes,
 def read_meta(directory: str) -> dict:
     with open(os.path.join(directory, _META)) as f:
         return json.load(f)
+
+
+def params_fingerprint(variables) -> str:
+    """sha256 over every leaf (path, dtype, shape, bytes) of a variables
+    pytree — identifies the exact weights an artifact was frozen from.
+
+    The exported StableHLO bakes the weights in as constants, so serving a
+    DIFFERENT checkpoint through an artifact would silently produce the
+    export-time masks for artifact-covered buckets while fallback-jit
+    buckets use the live checkpoint — per-bucket divergence with no error.
+    ``ScenePredictor._init_aot`` compares this digest against
+    ``aot_meta.json`` to reject that mismatch at startup (one D2H copy of
+    the params, ~tens of ms on attached hosts)."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        arr = np.asarray(leaf)
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()

@@ -142,8 +142,10 @@ def make_fullconv_scene_infer(model, scene_shape: tuple[int, int],
             # including the edge-clamped first/last — shares ONE compiled
             # forward); offsets stay 16-aligned by construction.
             cs = jnp.clip(y0 - halo, 0, hp - ctx_h)
-            c1 = jax.lax.dynamic_slice(s1, (cs, 0, 0), (ctx_h, wp, 13))
-            c2 = jax.lax.dynamic_slice(s2, (cs, 0, 0), (ctx_h, wp, 13))
+            c1 = jax.lax.dynamic_slice(
+                s1, (cs, 0, 0), (ctx_h, wp, s1.shape[-1]))
+            c2 = jax.lax.dynamic_slice(
+                s2, (cs, 0, 0), (ctx_h, wp, s2.shape[-1]))
             p = prob_map(variables, c1, c2)
             band_mask = jax.lax.dynamic_slice(
                 (p > 0.5).astype(jnp.uint8), (y0 - cs, 0), (rows, wp))

@@ -262,6 +262,42 @@ def make_helpers(folded_params, qweights: Optional[dict],
                            up_stats=up_stats, outc=outc)
 
 
+def _encoder(H, x, act_scales, stats):
+    """Shared int8-resident (or stats-tapped) U-Net encoder: x -> (x1..x5)
+    — used by the bi-date forward below AND the multi-date forwards
+    (quant_multidate.py); the quantization scheme changes in ONE place.
+
+    In quant mode the whole encoder runs on int8-RESIDENT tensors:
+    max-pool commutes with symmetric quantization exactly (max is
+    monotone), so each level's int8 tensor reuses the next conv input's
+    calibrated scale; only x5 needs its own ``enc.x5`` tap.  This halves
+    HBM bytes for every encoder tensor, which is where the int8 speedup
+    comes from (isolated int8 convs time the same as bf16 on this chip —
+    see the module docstring's roofline note)."""
+    if H.quant:
+        s = [act_scales[k] for k in
+             ("inc.conv1", "down1.conv1", "down2.conv1",
+              "down3.conv1", "down4.conv1", "enc.x5")]
+        x1 = H.enc_dc(H.q(x, s[0]), s[0], "inc",
+                      act_scales["inc.conv2"], s[1])
+        x2 = H.enc_dc(H.pool(x1), s[1], "down1",
+                      act_scales["down1.conv2"], s[2])
+        x3 = H.enc_dc(H.pool(x2), s[2], "down2",
+                      act_scales["down2.conv2"], s[3])
+        x4 = H.enc_dc(H.pool(x3), s[3], "down3",
+                      act_scales["down3.conv2"], s[4])
+        x5 = H.enc_dc(H.pool(x4), s[4], "down4",
+                      act_scales["down4.conv2"], s[5])
+    else:
+        x1 = H.dc(x, "inc", stats)
+        x2 = H.dc(H.pool(x1), "down1", stats)
+        x3 = H.dc(H.pool(x2), "down2", stats)
+        x4 = H.dc(H.pool(x3), "down3", stats)
+        x5 = H.dc(H.pool(x4), "down4", stats)
+        stats["enc.x5"] = jnp.max(jnp.abs(x5.astype(jnp.float32)))
+    return x1, x2, x3, x4, x5
+
+
 def _make_forward(folded_params, qweights: Optional[dict],
                   act_scales: Optional[dict], dtype=jnp.bfloat16,
                   local_upsample: bool = False):
@@ -290,27 +326,8 @@ def _make_forward(folded_params, qweights: Optional[dict],
         stats = {}
         n = x_d1.shape[0]
         x = jnp.concatenate([x_d1, x_d2], 0).astype(dtype)
+        x1, x2, x3, x4, x5 = _encoder(H, x, act_scales, stats)
         if quant:
-            # The whole encoder runs on int8-RESIDENT tensors: max-pool
-            # commutes with symmetric quantization exactly (max is
-            # monotone), so each level's int8 tensor reuses the next conv
-            # input's calibrated scale; only x5 needs its own tap.  This
-            # halves HBM bytes for every encoder tensor, which is where
-            # the int8 speedup comes from (isolated int8 convs time the
-            # same as bf16 on this chip).
-            s = [act_scales[k] for k in
-                 ("inc.conv1", "down1.conv1", "down2.conv1",
-                  "down3.conv1", "down4.conv1", "enc.x5")]
-            x1 = H.enc_dc(H.q(x, s[0]), s[0], "inc",
-                          act_scales["inc.conv2"], s[1])
-            x2 = H.enc_dc(H.pool(x1), s[1], "down1",
-                          act_scales["down1.conv2"], s[2])
-            x3 = H.enc_dc(H.pool(x2), s[2], "down2",
-                          act_scales["down2.conv2"], s[3])
-            x4 = H.enc_dc(H.pool(x3), s[3], "down3",
-                          act_scales["down3.conv2"], s[4])
-            x5 = H.enc_dc(H.pool(x4), s[4], "down4",
-                          act_scales["down4.conv2"], s[5])
             # fusion reads the int8 tensors directly: relu(d2*d1) in int32.
             # f1..f4 are the decoder's skip operands — REQUANTIZED straight
             # to int8 at their own calibrated scale (never bf16-resident);
@@ -323,24 +340,22 @@ def _make_forward(folded_params, qweights: Optional[dict],
                     prod.astype(jnp.float32) * (sk * sk / sf)),
                     0, 127).astype(jnp.int8)
 
+            sk = [act_scales[k] for k in
+                  ("down1.conv1", "down2.conv1", "down3.conv1",
+                   "down4.conv1")]  # the int8-resident x1..x4 scales
+            s5 = act_scales["enc.x5"]
             sf = [act_scales[f"f{k}"] for k in range(1, 5)]
-            f = [fuse_q(a, sk, sfk) for a, sk, sfk in
-                 zip((x1, x2, x3, x4), s[1:5], sf)]
+            f = [fuse_q(a, skk, sfk) for a, skk, sfk in
+                 zip((x1, x2, x3, x4), sk, sf)]
             f5 = (jnp.maximum(x5[n:].astype(jnp.int32)
                               * x5[:n].astype(jnp.int32), 0)
-                  .astype(jnp.float32) * (s[5] * s[5])).astype(dtype)
+                  .astype(jnp.float32) * (s5 * s5)).astype(dtype)
 
             y = H.up_q(f5, f[3], act_scales["f4"], "up1")
             y = H.up_q(y, f[2], act_scales["f3"], "up2")
             y = H.up_q(y, f[1], act_scales["f2"], "up3")
             y = H.up_q(y, f[0], act_scales["f1"], "up4")
         else:
-            x1 = H.dc(x, "inc", stats)
-            x2 = H.dc(H.pool(x1), "down1", stats)
-            x3 = H.dc(H.pool(x2), "down2", stats)
-            x4 = H.dc(H.pool(x3), "down3", stats)
-            x5 = H.dc(H.pool(x4), "down4", stats)
-            stats["enc.x5"] = jnp.max(jnp.abs(x5.astype(jnp.float32)))
             f = [jnp.maximum(a[n:] * a[:n], 0)
                  for a in (x1, x2, x3, x4, x5)]
             for k in range(1, 5):

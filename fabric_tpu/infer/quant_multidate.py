@@ -44,36 +44,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from fabric_tpu.infer.quant import _DN3, make_helpers
-
-
-def _encoder(H, x, act_scales, stats):
-    """Shared int8-resident (or stats-tapped) encoder: x -> (x1..x5).
-
-    In quant mode the returned tensors are int8: x_k at the NEXT conv
-    input's calibrated scale (pool commutes), x5 at ``enc.x5``."""
-    if H.quant:
-        s = [act_scales[k] for k in
-             ("inc.conv1", "down1.conv1", "down2.conv1",
-              "down3.conv1", "down4.conv1", "enc.x5")]
-        x1 = H.enc_dc(H.q(x, s[0]), s[0], "inc",
-                      act_scales["inc.conv2"], s[1])
-        x2 = H.enc_dc(H.pool(x1), s[1], "down1",
-                      act_scales["down1.conv2"], s[2])
-        x3 = H.enc_dc(H.pool(x2), s[2], "down2",
-                      act_scales["down2.conv2"], s[3])
-        x4 = H.enc_dc(H.pool(x3), s[3], "down3",
-                      act_scales["down3.conv2"], s[4])
-        x5 = H.enc_dc(H.pool(x4), s[4], "down4",
-                      act_scales["down4.conv2"], s[5])
-    else:
-        x1 = H.dc(x, "inc", stats)
-        x2 = H.dc(H.pool(x1), "down1", stats)
-        x3 = H.dc(H.pool(x2), "down2", stats)
-        x4 = H.dc(H.pool(x3), "down3", stats)
-        x5 = H.dc(H.pool(x4), "down4", stats)
-        stats["enc.x5"] = jnp.max(jnp.abs(x5.astype(jnp.float32)))
-    return x1, x2, x3, x4, x5
+from fabric_tpu.infer.quant import _DN3, _encoder, make_helpers
 
 
 def _upsample_fn(local_upsample: bool):

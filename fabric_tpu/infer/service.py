@@ -332,16 +332,56 @@ class ScenePredictor:
                 "streamed/sharded runners do per-band host work and must "
                 "stay in-process (the same modes export_aot rejects)")
         meta = _aot.read_meta(aot_dir)
+        import jax.numpy as jnp
+        from jax.export import default_export_platform
+        here = default_export_platform()  # canonical ("tpu" under axon)
+        if meta.get("platforms") and here not in meta["platforms"]:
+            raise ValueError(
+                f"AOT artifact {aot_dir} was exported for platforms "
+                f"{meta['platforms']} but this process serves on "
+                f"{here!r} — re-export with platforms=({here!r},) "
+                f"(tools/export.py --aot_platform {here}); without this "
+                f"check the mismatch surfaces as an opaque error deep "
+                f"inside exported.call on the first scene")
+        my_dtype = "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
         for field, mine in (("model", self.cfg.model),
                             ("quant", self.quant),
-                            ("fullconv_band_rows", self.fullconv_band_rows)):
-            theirs = meta.get(field)
+                            ("fullconv_band_rows", self.fullconv_band_rows),
+                            ("dtype", my_dtype),
+                            ("bucket", self.bucket),
+                            ("num_dates", (self.cfg.num_dates
+                                           if self.multi_date else 0))):
+            if field not in meta:
+                continue  # hand-rolled save_aot meta; export_aot records all
+            theirs = meta[field]
             if theirs != mine:
                 raise ValueError(
                     f"AOT artifact {aot_dir} was frozen with "
                     f"{field}={theirs!r}; this predictor uses {mine!r} — "
                     f"served masks would silently diverge from the "
-                    f"artifact's math")
+                    f"artifact's math (bucket/dtype mismatches would "
+                    f"otherwise surface as every-bucket fallback or "
+                    f"opaque aval errors deep in exported.call)")
+        # The StableHLO bakes the export-time weights in as constants: a
+        # different checkpoint would serve the frozen weights on
+        # artifact-covered buckets and the live ones on fallback-jit
+        # buckets — per-bucket silent divergence.  Reject it here.
+        frozen = meta.get("weights_sha256")
+        if frozen:
+            mine = _aot.params_fingerprint(self.variables)
+            if mine != frozen:
+                raise ValueError(
+                    f"AOT artifact {aot_dir} was exported from different "
+                    f"weights (artifact sha256 {frozen[:12]}…, this "
+                    f"checkpoint {mine[:12]}…) — re-export the artifact "
+                    f"from the checkpoint being served (tools/export.py "
+                    f"--aot_dir / infer.aot.export_aot)")
+        else:
+            log.warning(
+                "AOT artifact %s records no weights fingerprint (exported "
+                "by an older export_aot); cannot verify it matches this "
+                "checkpoint — artifact-covered buckets serve the "
+                "export-time weights regardless", aot_dir)
         if self.quant == "int8":
             if self.recalibrate_every > 0:
                 raise ValueError(
@@ -687,53 +727,67 @@ class ScenePredictor:
             a2 = jnp.asarray(d2, self.dtype)
         return self._run_guarded(run, a1, a2), h, w
 
-    def predict_many(self, pairs, window: int = 2) -> list[np.ndarray]:
+    def _predict_pipelined(self, items, window, sequential, dispatch,
+                           dims_of, scene_ids=None) -> list[np.ndarray]:
+        """Shared cross-scene pipelining driver for :meth:`predict_many` /
+        :meth:`predict_many_multidate`: up to ``window`` scenes stay in
+        flight (dispatch is async; only the drain at the window boundary
+        waits).  int8 scenes serve through ``sequential`` — the per-scene
+        calibration-cadence/clip-probe machinery synchronizes anyway."""
+        from collections import deque
+
+        results: list[np.ndarray] = []
+        pending: deque = deque()
+
+        def drain():
+            m, h, w, key, fresh, sid, t0 = pending.popleft()
+            results.append(np.asarray(m)[:h, :w])
+            # wall clock overlaps the other in-flight scenes' compute —
+            # recorded with pipelined=True so readers don't sum it
+            self._record_scene(sid, (h, w), key, fresh,
+                               time.perf_counter() - t0, pipelined=True)
+
+        for i, item in enumerate(items):
+            sid = scene_ids[i] if scene_ids else None
+            if self.quant == "int8":
+                results.append(sequential(item, sid))
+                continue
+            t0 = time.perf_counter()
+            self._scenes_predicted += 1
+            key = self._runner_key(*dims_of(item))
+            fresh = key not in self._compiled
+            pending.append((*dispatch(item), key, fresh, sid, t0))
+            while len(pending) >= max(window, 1) + 1:
+                drain()
+        while pending:
+            drain()
+        return results
+
+    def predict_many(self, pairs, window: int = 2,
+                     scene_ids=None) -> list[np.ndarray]:
         """Serve a sequence of ``(d1, d2)`` scene pairs with cross-scene
         pipelining: up to ``window`` scenes stay in flight, so scene
         n+1's host padding + upload + dispatch overlaps the device
         computing scene n (JAX dispatch is async; only the drain at the
         window boundary waits).  Equivalent to ``[predict(*p) for p in
         pairs]`` bit-for-bit — mixed shapes are fine (each bucket keeps
-        its own compiled runner).
+        its own compiled runner).  ``scene_ids``: optional per-scene
+        labels for the tracker records.
 
         In int8 mode the per-scene calibration/clip probe synchronizes
         before each dispatch, narrowing the overlap to the probe's cost;
         exact bf16 serving pipelines fully.  The reference equivalent
         (inference loop over validation cities, train.py:177-205) is
         strictly sequential."""
-        from collections import deque
-
         if self.multi_date:
-            raise ValueError("predict_many serves bi-date pairs; loop "
-                             "predict_multidate for the T-date variants")
-        results: list[np.ndarray] = []
-        pending: deque = deque()
-
-        def drain():
-            m, h, w, key, fresh, t0 = pending.popleft()
-            results.append(np.asarray(m)[:h, :w])
-            # wall clock overlaps the other in-flight scenes' compute —
-            # recorded with pipelined=True so readers don't sum it
-            self._record_scene(None, (h, w), key, fresh,
-                               time.perf_counter() - t0, pipelined=True)
-
-        for d1, d2 in pairs:
-            if self.quant == "int8":
-                # the calibration-cadence/clip-probe machinery in
-                # predict() synchronizes per scene anyway — serve int8
-                # sequentially through it
-                results.append(self.predict(d1, d2))
-                continue
-            t0 = time.perf_counter()
-            self._scenes_predicted += 1
-            key = self._runner_key(*d1.shape[:2])
-            fresh = key not in self._compiled
-            pending.append((*self._dispatch(d1, d2), key, fresh, t0))
-            while len(pending) >= max(window, 1) + 1:
-                drain()
-        while pending:
-            drain()
-        return results
+            raise ValueError("predict_many serves bi-date pairs; use "
+                             "predict_many_multidate for the T-date "
+                             "variants")
+        return self._predict_pipelined(
+            pairs, window,
+            sequential=lambda p, sid: self.predict(*p, scene_id=sid),
+            dispatch=lambda p: self._dispatch(*p),
+            dims_of=lambda p: p[0].shape[:2], scene_ids=scene_ids)
 
     def predict_multidate(self, scenes: np.ndarray,
                           scene_id: str | None = None) -> np.ndarray:
@@ -770,42 +824,23 @@ class ScenePredictor:
         return self._run_guarded(
             run, jnp.asarray(scenes, self.dtype)), h, w
 
-    def predict_many_multidate(self, stacks, window: int = 2) -> list:
+    def predict_many_multidate(self, stacks, window: int = 2,
+                               scene_ids=None) -> list:
         """Serve a sequence of (T, H, W, C) date stacks with cross-scene
         pipelining — the multi-date analogue of :meth:`predict_many`:
         bit-identical to ``[predict_multidate(s) for s in stacks]``, with
         up to ``window`` scenes in flight (int8 serves sequentially
         through the calibration/clip machinery, like predict_many)."""
-        from collections import deque
-
         if not self.multi_date:
             raise ValueError("predict_many_multidate requires a "
                              "multi-date model; use predict_many for "
                              "bi-date pairs")
-        results: list[np.ndarray] = []
-        pending: deque = deque()
-
-        def drain():
-            m, h, w, key, fresh, t0 = pending.popleft()
-            results.append(np.asarray(m)[:h, :w])
-            self._record_scene(None, (h, w), key, fresh,
-                               time.perf_counter() - t0, pipelined=True)
-
-        for scenes in stacks:
-            if self.quant == "int8":
-                results.append(self.predict_multidate(scenes))
-                continue
-            t0 = time.perf_counter()
-            self._scenes_predicted += 1
-            key = self._runner_key(*scenes.shape[1:3])
-            fresh = key not in self._compiled
-            pending.append((*self._dispatch_multidate(scenes), key, fresh,
-                            t0))
-            while len(pending) >= max(window, 1) + 1:
-                drain()
-        while pending:
-            drain()
-        return results
+        return self._predict_pipelined(
+            stacks, window,
+            sequential=lambda s, sid: self.predict_multidate(
+                s, scene_id=sid),
+            dispatch=self._dispatch_multidate,
+            dims_of=lambda s: s.shape[1:3], scene_ids=scene_ids)
 
     def predict_city(self, city: str) -> np.ndarray:
         from fabric_tpu.data.oscd import load_city

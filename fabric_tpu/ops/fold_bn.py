@@ -19,14 +19,25 @@ Usage:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 
 def _fold_pair(conv: dict, bn: dict, stats: dict, eps: float) -> dict:
-    scale = bn["scale"] / jnp.sqrt(stats["var"] + eps)
-    kernel = conv["kernel"] * scale  # (kh, kw, cin, cout) * (cout,)
-    bias = conv.get("bias", 0.0)
-    bias = (bias - stats["mean"]) * scale + bn["bias"]
+    # Host-side numpy on purpose: the fold runs once at predictor init,
+    # and jnp arithmetic rounds differently per platform (TPU vs CPU
+    # differ in the last ulp), which would give the SAME checkpoint a
+    # different aot.params_fingerprint depending on where it was folded
+    # — breaking the AOT weights-sha256 startup check between a bundle
+    # exported on one platform and a checkpoint served on another.
+    # float64 intermediates, cast back to the kernel's dtype: bit-exact
+    # on every host.
+    kdt = np.asarray(conv["kernel"]).dtype
+    scale = (np.asarray(bn["scale"], np.float64)
+             / np.sqrt(np.asarray(stats["var"], np.float64) + eps))
+    kernel = (np.asarray(conv["kernel"], np.float64) * scale).astype(kdt)
+    bias = np.asarray(conv.get("bias", 0.0), np.float64)
+    bias = ((bias - np.asarray(stats["mean"], np.float64)) * scale
+            + np.asarray(bn["bias"], np.float64)).astype(kdt)
     return {"kernel": kernel, "bias": bias}
 
 

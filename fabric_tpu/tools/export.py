@@ -173,6 +173,12 @@ def main(argv=None) -> int:
     ap.add_argument("--aot_bucket", type=int, default=512,
                     help="bucket size the artifact is keyed by (must "
                          "match the serving ScenePredictor's bucket=)")
+    ap.add_argument("--aot_fullconv", type=int, default=0, metavar="ROWS",
+                    help="freeze the seamless-fullconv runner (band rows, "
+                         "e.g. 768 bf16 / 1024 int8 — BASELINE.md optima) "
+                         "instead of the grid runner; must match the "
+                         "serving ScenePredictor's fullconv_band_rows= "
+                         "(aot_meta.json pins it)")
     args, rest = ap.parse_known_args(
         sys.argv[1:] if argv is None else argv)
     cfg = load_config(argv=rest)  # handles --config/--resume/overrides
@@ -189,7 +195,8 @@ def main(argv=None) -> int:
         for s in args.aot_scene:
             h, w = s.lower().split("x")
             shapes.append((int(h), int(w)))
-        pred = ScenePredictor(cfg, bundle=args.out, bucket=args.aot_bucket)
+        pred = ScenePredictor(cfg, bundle=args.out, bucket=args.aot_bucket,
+                              fullconv_band_rows=args.aot_fullconv)
         aot_meta = export_aot(pred, args.aot_dir, shapes,
                               platforms=tuple(args.aot_platform or ["tpu"]))
         meta = dict(meta, aot=aot_meta)

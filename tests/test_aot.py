@@ -121,6 +121,76 @@ def test_config_mismatch_rejected(cfg, tmp_path):
         ScenePredictor(lstm, bucket=32, aot_dir=str(tmp_path))
 
 
+def test_weights_mismatch_rejected(cfg, tmp_path):
+    """The artifact bakes the export-time weights into the StableHLO as
+    constants: serving a DIFFERENT checkpoint through it would silently
+    produce the frozen weights' masks on artifact buckets and the live
+    weights' masks on fallback buckets — reject at startup instead."""
+    base = ScenePredictor(cfg, bucket=32)
+    meta = export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",))
+    assert len(meta["weights_sha256"]) == 64
+    # same config, differently-seeded weights
+    other = Config(patch_size=16, dtype="float32", model_base=8,
+                   eval_batch_size=8, seed=1)
+    with pytest.raises(ValueError, match="different weights"):
+        ScenePredictor(other, bucket=32, aot_dir=str(tmp_path))
+    # identical weights pass the fingerprint check
+    ScenePredictor(cfg, bucket=32, aot_dir=str(tmp_path))
+
+
+def test_platform_mismatch_rejected(cfg, tmp_path):
+    """An artifact exported for a different platform must be rejected at
+    startup with an actionable message — otherwise the mismatch surfaces
+    as an opaque error deep inside exported.call on the first scene
+    (observed serving a cpu-exported artifact on the axon TPU)."""
+    base = ScenePredictor(cfg, bucket=32)
+    export_aot(base, str(tmp_path), [(40, 56)], platforms=("tpu",))
+    with pytest.raises(ValueError, match="platforms"):
+        ScenePredictor(cfg, bucket=32, aot_dir=str(tmp_path))
+
+
+def test_fingerprint_checkpoint_vs_bundle_deterministic(cfg, tmp_path):
+    """The weights fingerprint must agree between a checkpoint-loaded
+    predictor (folds BN at init) and a bundle-loaded one (stores the fold)
+    — i.e. fold_batchnorm must be platform-deterministic host math.  When
+    the fold ran in jnp, TPU- and CPU-folded copies of the SAME checkpoint
+    differed in the last ulp and the sha256 check rejected a correct
+    serve."""
+    import jax
+
+    from fabric_tpu import checkpoint as ckpt
+    from fabric_tpu.infer.aot import params_fingerprint
+    from fabric_tpu.models import build_model
+    from fabric_tpu.tools.export import export_bundle
+    from fabric_tpu.train.state import create_state
+
+    cfg2 = Config(patch_size=16, dtype="float32", model_base=8,
+                  eval_batch_size=8, weight_dir=str(tmp_path / "w"))
+    state = create_state(cfg2, build_model(cfg2))
+    ckpt.save(state, cfg2.weight_dir, epoch=0)
+    export_bundle(cfg2, cfg2.weight_dir, str(tmp_path / "b.npz"))
+
+    p_ck = ScenePredictor(cfg2, checkpoint=cfg2.weight_dir, bucket=32)
+    p_bn = ScenePredictor(cfg2, bundle=str(tmp_path / "b.npz"), bucket=32)
+    assert (params_fingerprint(p_ck.variables)
+            == params_fingerprint(p_bn.variables))
+    # and the fold itself is reproducible run-to-run
+    jax.clear_caches()
+    p_ck2 = ScenePredictor(cfg2, checkpoint=cfg2.weight_dir, bucket=32)
+    assert (params_fingerprint(p_ck.variables)
+            == params_fingerprint(p_ck2.variables))
+
+
+def test_bucket_mismatch_rejected(cfg, tmp_path):
+    """A bucket-size mismatch would silently miss every artifact key and
+    fall back to in-process jit for ALL scenes (AOT becomes a no-op) —
+    reject it up front instead."""
+    base = ScenePredictor(cfg, bucket=32)
+    export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",))
+    with pytest.raises(ValueError, match="bucket"):
+        ScenePredictor(cfg, bucket=64, aot_dir=str(tmp_path))
+
+
 def test_streamed_and_sharded_rejected(cfg, tmp_path):
     base = ScenePredictor(cfg, bucket=32)
     export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",))
@@ -177,6 +247,25 @@ def test_export_cli_emits_aot(cfg, tmp_path):
     base = ScenePredictor(cfg, bundle=out, bucket=32)
     np.testing.assert_array_equal(served.predict(d1, d2),
                                   base.predict(d1, d2))
+
+    # --aot_fullconv freezes the seamless-fullconv runner instead of the
+    # grid runner (the serving mode the artifact pins in its meta)
+    aotfc = str(tmp_path / "aot_fc")
+    rc = main(["--config", str(cfgpath), "--resume", str(tmp_path / "run"),
+               "--out", str(tmp_path / "bundle_fc.npz"),
+               "--aot_dir", aotfc, "--aot_scene", "200x64",
+               "--aot_platform", "cpu", "--aot_bucket", "32",
+               "--aot_fullconv", "160"])
+    assert rc == 0
+    assert read_meta(aotfc)["fullconv_band_rows"] == 160
+    sfc = _scene((200, 64), 12), _scene((200, 64), 13)
+    served_fc = ScenePredictor(cfg, bundle=str(tmp_path / "bundle_fc.npz"),
+                               bucket=32, fullconv_band_rows=160,
+                               aot_dir=aotfc)
+    base_fc = ScenePredictor(cfg, bundle=str(tmp_path / "bundle_fc.npz"),
+                             bucket=32, fullconv_band_rows=160)
+    np.testing.assert_array_equal(served_fc.predict(*sfc),
+                                  base_fc.predict(*sfc))
 
 
 def test_multidate_aot_bit_identity(tmp_path):
