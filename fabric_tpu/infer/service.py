@@ -223,7 +223,12 @@ class ScenePredictor:
                 raise ValueError(f"bundle was exported from a "
                                  f"{bmodel!r} model; config says "
                                  f"{cfg.model!r}")
-            self.variables = {"params": folded, "batch_stats": {}}
+            # commit the npz's host arrays to the device once — they are
+            # passed into the jitted runners on every scene, and host
+            # leaves would re-upload the full weight set per call
+            import jax
+            self.variables = {"params": jax.device_put(folded),
+                              "batch_stats": {}}
             common = dict(n_channels=meta["n_channels"],
                           n_classes=meta["n_classes"], dtype=self.dtype,
                           fold_bn=True,

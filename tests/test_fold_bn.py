@@ -48,6 +48,38 @@ def test_folded_param_tree_has_no_bn():
     assert out.shape == (1, 16, 16, 2)
 
 
+def test_folded_leaves_are_committed_device_arrays():
+    """The folded tree must be DEVICE-resident: it is passed as an
+    argument into the jitted scene runners on every call, and host-numpy
+    leaves would re-upload the full weight set per scene (measured
+    79 -> 28 Mpx/s through the axon tunnel when the fold briefly
+    returned numpy).  The fold MATH stays host numpy for cross-platform
+    bit-determinism (the AOT weights fingerprint relies on it)."""
+    model = BiDateNet(base=8)
+    x = jnp.zeros((1, 16, 16, 13))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    folded = fold_batchnorm(variables["params"], variables["batch_stats"])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(folded)[0]:
+        assert isinstance(leaf, jax.Array), (path, type(leaf))
+        assert leaf.committed or len(leaf.devices()) == 1, path
+
+
+def test_fold_is_bit_deterministic_run_to_run():
+    """Two folds of the same checkpoint must agree byte-for-byte — the
+    AOT startup check compares sha256 fingerprints across processes (and
+    across the platform that folded: numpy float64 math, not jnp)."""
+    model = BiDateNet(base=8)
+    x = jnp.zeros((1, 16, 16, 13))
+    variables = model.init(jax.random.PRNGKey(2), x, x, train=False)
+    a = fold_batchnorm(variables["params"], variables["batch_stats"])
+    b = fold_batchnorm(variables["params"], variables["batch_stats"])
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b)[0]):
+        assert pa == pb
+        assert np.asarray(la).tobytes() == np.asarray(lb).tobytes(), pa
+
+
 def test_fold_bn_unet_lstm_and_3d():
     """BN folding extends to the multi-date variants: folded eval logits
     match the unfolded eval forward (the ConvLSTM gates / temporal
