@@ -172,11 +172,20 @@ def main(argv=None) -> int:
                          "int8 / train-step sidecar measurements) — for "
                          "sweep runs where each process should time one "
                          "thing")
-    ap.add_argument("--workload", choices=["infer", "train"],
+    ap.add_argument("--pack", type=int, default=0,
+                    help="--workload fleet: scenes per packed dispatch "
+                         "(0 = auto: fill the tile batch, e.g. 4 "
+                         "512²-scenes at patch 64 / batch 256)")
+    ap.add_argument("--workload", choices=["infer", "train", "fleet"],
                     default="infer",
                     help="infer = whole-scene throughput (the headline "
-                         "metric); train = train-step examples/sec")
+                         "metric); train = train-step examples/sec; "
+                         "fleet = small-scene fleet-packed serving "
+                         "(infer/device_tiling.make_packed_scene_infer "
+                         "— many city-sized scenes per dispatch)")
     args = ap.parse_args(argv)
+    if args.workload == "fleet" and args.size == 8192:
+        args.size = 512  # fleet mode targets the small-scene workload
 
     # Unsupported combinations fail loudly instead of silently benchmarking
     # something other than what was asked (the recorded JSON drives
@@ -207,6 +216,11 @@ def main(argv=None) -> int:
                             and args.model == "bidate"):
         raise SystemExit("--stream applies to the bi-date --fullconv "
                          "device mode")
+    if args.workload == "fleet" and (args.overlap or args.fullconv
+                                     or args.shard_scene
+                                     or args.band_rows):
+        raise SystemExit("--workload fleet packs grid-mode tiles (no "
+                         "--overlap/--fullconv/--shard_scene/--band_rows)")
 
     # defaults = best measured v5e configs (r2 sweeps): infer 8192^2 /
     # patch 64 / batch 256 / fold_bn -> 77.0 Mpx/s bf16 exact, 116.7
@@ -233,6 +247,8 @@ def main(argv=None) -> int:
         args.batch = 128 if args.workload == "train" else 256
     if args.workload == "train":
         return _bench_train(args)
+    if args.workload == "fleet":
+        return _bench_fleet(args)
     if args.model != "bidate":
         return _bench_multidate(args)
 
@@ -448,6 +464,150 @@ def main(argv=None) -> int:
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "
                              "publishes no measured numbers",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def _bench_fleet(args) -> int:
+    """Fleet-packed small-scene serving throughput (r4 VERDICT #1):
+    ``pack`` same-size scenes' tiles share ONE chunked device forward
+    (infer/device_tiling.make_packed_scene_infer), restoring the
+    8192²-class tile batch for the OSCD-city-sized scenes the reference
+    actually serves per epoch (/root/reference/train.py:177-205).
+    Scenes are device-resident (steady-state fleet serving; the axon
+    tunnel must not be in the measured loop — CLAUDE.md).  Also times
+    the single-scene runner on the same scene size for the in-process
+    packed-vs-unpacked delta."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from fabric_tpu.config import Config
+    from fabric_tpu.infer.device_tiling import (make_packed_scene_infer,
+                                                make_scene_infer,
+                                                make_scene_infer_multidate)
+    from fabric_tpu.models import build_model
+    from fabric_tpu.ops.fold_bn import fold_batchnorm
+    from fabric_tpu.train.state import create_state
+
+    if not args.fold_bn:
+        raise SystemExit("--workload fleet serves BN-folded models")
+    multi = args.model != "bidate"
+    cfg = Config(dtype=args.dtype, patch_size=args.patch, model=args.model,
+                 num_dates=args.num_dates, eval_batch_size=args.batch)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    state = create_state(cfg, build_model(cfg),
+                         sample_shape=(args.patch, args.patch))
+    common = dict(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                  dtype=dt, fold_bn=True)
+    if args.model == "bidate":
+        from fabric_tpu.models import BiDateNet
+        model = BiDateNet(split_up_concat=args.split_up_concat, **common)
+    elif args.model == "unet_lstm":
+        from fabric_tpu.models.unet_lstm import UNetLSTM
+        model = UNetLSTM(base=64, **common)
+    else:
+        from fabric_tpu.models.unet3d import UNet3D
+        model = UNet3D(base=32, **common)
+    variables = {"params": fold_batchnorm(state.params, state.batch_stats),
+                 "batch_stats": {}}
+    if args.quant == "int8":
+        from fabric_tpu.infer import quant as _quant
+        rng = np.random.RandomState(7)
+        if multi:
+            calib = [jnp.asarray(rng.randn(8, args.num_dates, args.patch,
+                                           args.patch, 13), jnp.float32)]
+        else:
+            calib = [(jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
+                                  jnp.float32),
+                      jnp.asarray(rng.randn(8, args.patch, args.patch, 13),
+                                  jnp.float32))]
+        model = _quant.make_int8_apply(
+            variables["params"],
+            _quant.calibrate(variables["params"], calib, dt,
+                             model=args.model),
+            dt, model=args.model)
+
+    # tiles per scene at this size/patch (grid mode, edge stops included)
+    n_y = -(-args.size // args.patch)
+    k = n_y * n_y
+    pack = args.pack or max(1, args.batch // k)
+
+    def sync(x):
+        return np.asarray(jnp.sum(x.astype(jnp.int32)))
+
+    if multi:
+        scenes = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (pack, args.num_dates, args.size, args.size, 13), dt)
+        run = make_packed_scene_infer(
+            model, args.patch, (args.size, args.size), pack,
+            batch_size=args.batch, dtype=dt, num_dates=args.num_dates)
+        packed_args = (scenes,)
+        single = make_scene_infer_multidate(
+            model, args.patch, (args.size, args.size),
+            num_dates=args.num_dates, batch_size=args.batch, dtype=dt)
+        single_args = (scenes[0],)
+    else:
+        s1 = jax.random.normal(
+            jax.random.PRNGKey(0), (pack, args.size, args.size, 13), dt)
+        s2 = jax.random.normal(
+            jax.random.PRNGKey(1), (pack, args.size, args.size, 13), dt)
+        run = make_packed_scene_infer(
+            model, args.patch, (args.size, args.size), pack,
+            batch_size=args.batch, dtype=dt)
+        packed_args = (s1, s2)
+        single = make_scene_infer(
+            model, args.patch, (args.size, args.size),
+            batch_size=args.batch, dtype=dt)
+        single_args = (s1[0], s2[0])
+
+    iters = max(args.iters, 20)  # small dispatches need more averaging
+    t0 = time.time()
+    sync(run(variables, *packed_args))
+    compile_and_first = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        mask = run(variables, *packed_args)
+    sync(mask)
+    packed_s = (time.time() - t0) / iters
+    packed_mpx = pack * args.size * args.size / packed_s / 1e6
+
+    single_mpx = None
+    if not args.skip_sidecars:
+        try:
+            sync(single(variables, *single_args))
+            t0 = time.time()
+            for _ in range(iters):
+                m = single(variables, *single_args)
+            sync(m)
+            single_mpx = args.size * args.size / (
+                (time.time() - t0) / iters) / 1e6
+        except Exception as e:  # noqa: BLE001 — sidecar is best-effort
+            print(f"single-scene sidecar skipped: {e!r}", file=sys.stderr)
+
+    result = {
+        "metric": "fleet_packed_serving_throughput",
+        "value": round(packed_mpx, 3),
+        "unit": "Mpx/sec/chip",
+        "vs_baseline": round(packed_mpx / BASELINE_MPX_PER_SEC, 3),
+        "detail": {
+            "scene": f"{args.size}x{args.size}x13"
+                     + (f" x {args.num_dates} dates" if multi
+                        else " bi-date"),
+            "model": args.model, "patch": args.patch, "batch": args.batch,
+            "pack": pack, "tiles_per_scene": k, "quant": args.quant,
+            "dtype": args.dtype, "iters": iters,
+            "ms_per_scene": round(packed_s / pack * 1000, 3),
+            "ms_per_pack": round(packed_s * 1000, 3),
+            "unpacked_mpx_per_sec": (round(single_mpx, 3)
+                                     if single_mpx else None),
+            "packed_speedup": (round(packed_mpx / single_mpx, 3)
+                               if single_mpx else None),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "compile_plus_first_s": round(compile_and_first, 3),
         },
     }
     print(json.dumps(result))

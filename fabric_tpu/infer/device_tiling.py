@@ -326,6 +326,88 @@ def make_banded_overlap_infer(model, patch: int,
     return run
 
 
+def make_packed_scene_infer(model, patch: int,
+                            scene_shape: tuple[int, int], pack: int,
+                            batch_size: int = 32, dtype=jnp.bfloat16,
+                            num_dates: int = 0):
+    """Fleet-packed grid-mode inference: ``pack`` same-bucket scenes per
+    dispatch, their tiles concatenated into ONE chunked forward.
+
+    Small scenes starve the measured-optimal tile batch — a 512² scene at
+    patch 64 yields only 64 tiles where the v5e optimum is 256, so
+    per-scene dispatch runs at ~42% of the 8192² headline rate
+    (BASELINE.md "small-scene serving latency"; the reference serves many
+    such city scenes per epoch, /root/reference/train.py:177-205).
+    Packing restores the batch: tiles from all ``pack`` scenes form a
+    single (pack*K) tile stack, chunked by ``batch_size`` exactly like
+    :func:`make_scene_infer`, then each scene's K tiles stitch back
+    independently.  Per-tile math is untouched (convs are data-parallel
+    over the batch axis), so per-scene masks are bit-identical to the
+    single-scene runner's.
+
+    Returns a jitted runner:
+      - bi-date (``num_dates=0``): ``(variables, s1, s2) -> (pack, H, W)``
+        with s1/s2 of shape (pack, H, W, C);
+      - multi-date: ``(variables, scenes) -> (pack, H, W)`` with scenes of
+        shape (pack, T, H, W, C).
+    """
+    h, w = scene_shape
+    ys = _axis_positions(h, patch, patch)
+    xs = _axis_positions(w, patch, patch)
+    k = len(ys) * len(xs)
+    total = pack * k
+    pad = (-total) % batch_size
+    n_chunks = (total + pad) // batch_size
+    apply_fn = model.apply if hasattr(model, "apply") else model
+
+    def gather(scene):  # (H, W, C) -> (K, patch, patch, C)
+        return _gather_tiles(scene.astype(dtype), ys, xs, patch)
+
+    def finish(variables, t, fwd):
+        """(pack*K, ...) tile stack -> (pack, H, W) masks."""
+        if pad:
+            t = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), t)
+        t = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_chunks, batch_size) + a.shape[1:]), t)
+        outs = jax.lax.map(lambda ts: fwd(variables, ts), t)
+        outs = outs.reshape(-1, patch, patch)[:total]
+        per_scene = outs.reshape(pack, k, patch, patch)
+        return jax.vmap(
+            lambda o: _stitch(o, ys, xs, k, h, w, patch, patch, 0))(
+                per_scene)
+
+    if num_dates:
+        def forward(variables, tiles):  # (B, T, patch, patch, C)
+            logits = apply_fn(variables, tiles, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        @jax.jit
+        def run(variables, scenes):  # (pack, T, H, W, C)
+            t = jax.vmap(jax.vmap(gather))(scenes)  # (S, T, K, p, p, C)
+            t = jnp.swapaxes(t, 1, 2).reshape(
+                total, num_dates, patch, patch, scenes.shape[-1])
+            return finish(variables, t, forward)
+
+        return run
+
+    def forward2(variables, ts):
+        logits = apply_fn(variables, *ts, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    @jax.jit
+    def run(variables, scenes1, scenes2):  # (pack, H, W, C) each
+        t1 = jax.vmap(gather)(scenes1).reshape(
+            total, patch, patch, scenes1.shape[-1])
+        t2 = jax.vmap(gather)(scenes2).reshape(
+            total, patch, patch, scenes2.shape[-1])
+        return finish(variables, (t1, t2),
+                      lambda v, ts: forward2(v, ts))
+
+    return run
+
+
 def make_scene_infer(model, patch: int, scene_shape: tuple[int, int],
                      batch_size: int = 32, overlap: int = 0,
                      dtype=jnp.bfloat16, mesh=None):

@@ -464,11 +464,21 @@ class ScenePredictor:
                  for (y, x) in self._crop_anchors(h0, w0)]
         return np.stack(crops).astype(np.float32)
 
-    def _int8_scene_prologue(self, crops) -> None:
+    def _int8_scene_prologue(self, crops):
         """Shared per-scene int8 machinery: first-scene (or cadence-due)
-        calibration, otherwise the activation-range clip probe.  ``crops``
-        is whatever :meth:`calibrate` accepts — a (d1, d2) pair for the
-        bi-date model, an (N, T, p, p, C) stack for the multi-date ones."""
+        calibration (synchronous — it rebuilds the quantized forward),
+        otherwise DISPATCH the activation-range clip probe and return its
+        device-side stats without waiting.  ``crops`` is whatever
+        :meth:`calibrate` accepts — a (d1, d2) pair for the bi-date
+        model, an (N, T, p, p, C) stack for the multi-date ones.
+
+        Returns the pending probe stats ({site: device absmax scalar}) to
+        hand to :meth:`_int8_probe_check`, or None when this scene
+        (re-)calibrated or probing is off.  Splitting dispatch from check
+        lets serving overlap the probe — and, in :meth:`predict_many`,
+        the scene forward itself — with host work (r4 VERDICT #2: the
+        synchronous probe forced every int8 scene through the sequential
+        path)."""
         # cadence counts from the FIRST scene: scene 0 only calibrates
         # when no scales exist yet, so a bundle's curated offline scales
         # survive until the cadence actually comes due (scene N, 2N, ...)
@@ -484,30 +494,43 @@ class ScenePredictor:
             self.calibrate([crops])
             log.info("int8 calibration on scene %d (%d crops)",
                      self._scenes_predicted, n_crops)
-        elif self.clip_warn_ratio:
-            # guardrail: static scales from an earlier scene — probe
-            # whether THIS scene's activation ranges overflow them
-            # (probe forward compiled once, reused every scene)
-            from fabric_tpu.infer import quant as q
-            if getattr(self, "_stats_fwd", None) is None:
-                self._stats_fwd = q.make_stats_forward(
-                    self.variables["params"], self.dtype,
-                    local_upsample=bool(self.fullconv_band_rows),
-                    model=self.cfg.model)
-            report = q.clip_report(self.variables["params"],
-                                   self._scales, [crops], self.dtype,
-                                   stats_forward=self._stats_fwd)
-            self.last_clip_report = report
-            site = max(report, key=report.get)
-            if report[site] > self.clip_warn_ratio:
-                log.warning(
-                    "int8 activation clipping on scene %d: site %s "
-                    "absmax is %.2fx the calibrated range (worst of "
-                    "%d sites); predictions may degrade there — "
-                    "recalibrate (ScenePredictor.calibrate / "
-                    "recalibrate_every) or raise calibration "
-                    "headroom", self._scenes_predicted, site,
-                    report[site], len(report))
+            return None
+        if not self.clip_warn_ratio:
+            return None
+        # guardrail: static scales from an earlier scene — probe whether
+        # THIS scene's activation ranges overflow them (probe forward
+        # compiled once, reused every scene; dispatch is async)
+        from fabric_tpu.infer import quant as q
+        if getattr(self, "_stats_fwd", None) is None:
+            self._stats_fwd = q.make_stats_forward(
+                self.variables["params"], self.dtype,
+                local_upsample=bool(self.fullconv_band_rows),
+                model=self.cfg.model)
+        _, stats = self._stats_fwd(*q._as_args(crops))
+        return stats
+
+    def _int8_probe_check(self, stats, scene_idx: int) -> dict | None:
+        """Complete a pending clip probe from :meth:`_int8_scene_prologue`:
+        pull the (tiny) per-site absmax scalars to host, compute the
+        overflow report, warn past ``clip_warn_ratio``.  The sync waits
+        only on the probe's own few-crop forward — never on a scene
+        forward dispatched after it."""
+        if stats is None:
+            return None
+        report = {k: float(v) / (127.0 * self._scales[k])
+                  for k, v in stats.items() if k in self._scales}
+        self.last_clip_report = report
+        site = max(report, key=report.get)
+        if report[site] > self.clip_warn_ratio:
+            log.warning(
+                "int8 activation clipping on scene %d: site %s "
+                "absmax is %.2fx the calibrated range (worst of "
+                "%d sites); predictions may degrade there — "
+                "recalibrate (ScenePredictor.calibrate / "
+                "recalibrate_every) or raise calibration "
+                "headroom", scene_idx, site,
+                report[site], len(report))
+        return report
 
     def serving_mode(self) -> str:
         """Human-readable name of the configured serving mode."""
@@ -524,7 +547,9 @@ class ScenePredictor:
         return "grid"
 
     def _record_scene(self, scene_id, dims, runner_key, compiled_new,
-                      wall_s, pipelined: bool = False) -> None:
+                      wall_s, pipelined: bool = False,
+                      clip_report: dict | None = None,
+                      packed: int = 0) -> None:
         """Stream one served scene's record through the tracker (no-op
         without one): the serving-side observability the reference did
         via per-scene comet logging (utils/inference.py:107-131)."""
@@ -546,10 +571,19 @@ class ScenePredictor:
             # predict_many keeps several scenes in flight: this scene's
             # wall clock overlaps its neighbors' compute
             rec["pipelined"] = True
-        if self.quant == "int8" and self.last_clip_report:
-            site = max(self.last_clip_report, key=self.last_clip_report.get)
-            rec["clip_worst_site"] = site
-            rec["clip_worst_ratio"] = round(self.last_clip_report[site], 3)
+        if packed:
+            # fleet-packed dispatch: this scene shared its forward with
+            # up to `packed`-1 other scenes (wall_ms covers the pack)
+            rec["packed"] = packed
+        if self.quant == "int8":
+            # pipelined/packed scenes pass their own probe's report so a
+            # later scene's probe can't be attributed to this record
+            report = (clip_report if clip_report is not None
+                      else self.last_clip_report)
+            if report:
+                site = max(report, key=report.get)
+                rec["clip_worst_site"] = site
+                rec["clip_worst_ratio"] = round(report[site], 3)
         self.tracker.log_metrics(rec, step=self._scenes_predicted,
                                  prefix="serve_")
 
@@ -692,7 +726,9 @@ class ScenePredictor:
                              "use predict_multidate((T, H, W, C))")
         t0 = time.perf_counter()
         if self.quant == "int8":
-            self._int8_scene_prologue(self._calibration_crops(d1, d2))
+            probe = self._int8_scene_prologue(
+                self._calibration_crops(d1, d2))
+            self._int8_probe_check(probe, self._scenes_predicted)
         self._scenes_predicted += 1
         key = self._runner_key(*d1.shape[:2])
         fresh = key not in self._compiled
@@ -732,44 +768,193 @@ class ScenePredictor:
             a2 = jnp.asarray(d2, self.dtype)
         return self._run_guarded(run, a1, a2), h, w
 
-    def _predict_pipelined(self, items, window, sequential, dispatch,
-                           dims_of, scene_ids=None) -> list[np.ndarray]:
+    def _predict_pipelined(self, items, window, dispatch, dims_of,
+                           crops_of, scene_ids=None) -> list[np.ndarray]:
         """Shared cross-scene pipelining driver for :meth:`predict_many` /
         :meth:`predict_many_multidate`: up to ``window`` scenes stay in
         flight (dispatch is async; only the drain at the window boundary
-        waits).  int8 scenes serve through ``sequential`` — the per-scene
-        calibration-cadence/clip-probe machinery synchronizes anyway."""
+        waits).  int8 scenes pipeline too (r4 VERDICT #2): the clip probe
+        is dispatched ahead of the scene and its (tiny) result is checked
+        right after the scene's own async dispatch — before the NEXT
+        scene dispatches — so the guardrail semantics are unchanged while
+        the scene forwards overlap.  Only a cadence-due recalibration
+        synchronizes (it rebuilds the quantized forward)."""
         from collections import deque
 
         results: list[np.ndarray] = []
         pending: deque = deque()
 
         def drain():
-            m, h, w, key, fresh, sid, t0 = pending.popleft()
+            m, h, w, key, fresh, sid, t0, report = pending.popleft()
             results.append(np.asarray(m)[:h, :w])
             # wall clock overlaps the other in-flight scenes' compute —
             # recorded with pipelined=True so readers don't sum it
             self._record_scene(sid, (h, w), key, fresh,
-                               time.perf_counter() - t0, pipelined=True)
+                               time.perf_counter() - t0, pipelined=True,
+                               clip_report=report)
 
         for i, item in enumerate(items):
             sid = scene_ids[i] if scene_ids else None
-            if self.quant == "int8":
-                results.append(sequential(item, sid))
-                continue
             t0 = time.perf_counter()
+            probe = None
+            if self.quant == "int8":
+                # calibration (first scene / cadence-due) synchronizes;
+                # otherwise this only DISPATCHES the probe
+                probe = self._int8_scene_prologue(crops_of(item))
+            idx = self._scenes_predicted
             self._scenes_predicted += 1
             key = self._runner_key(*dims_of(item))
             fresh = key not in self._compiled
-            pending.append((*dispatch(item), key, fresh, sid, t0))
+            mask_hw = dispatch(item)
+            # act on the probe before the next scene's dispatch: the
+            # probe ran ahead of this scene's forward, so the sync here
+            # waits on a few-crop forward, not on the scene
+            report = self._int8_probe_check(probe, idx)
+            pending.append((*mask_hw, key, fresh, sid, t0, report))
             while len(pending) >= max(window, 1) + 1:
                 drain()
         while pending:
             drain()
         return results
 
+    def _get_packed_runner(self, ph: int, pw: int, pack: int):
+        """Compile-cached fleet runner for a (ph, pw) bucket × pack."""
+        key = (ph, pw, pack, "packed")
+        if key not in self._compiled:
+            from fabric_tpu.infer.device_tiling import (
+                make_packed_scene_infer)
+            log.info("compiling packed scene runner for %dx%d x%d",
+                     ph, pw, pack)
+            self._compiled[key] = make_packed_scene_infer(
+                self.model, self.cfg.patch_size, (ph, pw), pack,
+                batch_size=self.cfg.eval_batch_size, dtype=self.dtype,
+                num_dates=(self.cfg.num_dates if self.multi_date else 0))
+        return self._compiled[key]
+
+    def _predict_packed(self, items, pack: int, window: int, scene_ids,
+                        multidate: bool) -> list[np.ndarray]:
+        """Fleet-packed serving driver (r4 VERDICT #1): group scenes by
+        bucket, stack ``pack`` of them per dispatch so their tiles share
+        one device-resident batch, and pipeline up to ``window`` packs in
+        flight.  Partial final groups pad with zero scenes (their masks
+        are discarded).  Per-scene masks are bit-identical to
+        :meth:`predict` — per-tile math does not depend on batch
+        position, and the chunked forward uses the same batch size.
+        (One int8 cadence caveat: with ``recalibrate_every`` > 0, every
+        scene in a pack serves with the scales current at the pack's
+        dispatch, so scenes queued before a mid-pack recalibration pick
+        up the NEW scales; the default calibrate-once cadence is exactly
+        sequential-equivalent.)"""
+        if self.serving_mode() != "grid":
+            raise ValueError(
+                f"pack= serves the grid tiling mode only (this predictor "
+                f"is configured for {self.serving_mode()!r}); fullconv/"
+                f"overlap/sharded scenes don't tile into packable "
+                f"batches")
+        if self.mesh is not None:
+            raise ValueError("pack= is a single-device fast path (mesh "
+                             "tile-sharding already fills the batch)")
+        if getattr(self, "aot_dir", None):
+            raise ValueError("pack= compiles fleet runners in-process; "
+                             "AOT artifacts freeze single-scene runners "
+                             "only — serve without aot_dir to pack")
+        if pack < 1:
+            raise ValueError(f"pack must be >= 1, got {pack}")
+
+        from collections import deque
+
+        results: list = [None] * len(items)
+        groups: dict[tuple[int, int], list] = {}
+        pending: deque = deque()
+
+        def dims_of(item):
+            return item.shape[1:3] if multidate else item[0].shape[:2]
+
+        def pad_item(item, ph, pw):
+            if multidate:
+                t, h, w = item.shape[:3]
+                if (ph, pw) == (h, w):
+                    return item
+                return np.pad(item, [(0, 0), (0, ph - h), (0, pw - w),
+                                     (0, 0)], mode="edge")
+            d1, d2 = item
+            h, w = d1.shape[:2]
+            if (ph, pw) == (h, w):
+                return d1, d2
+            pads = [(0, ph - h), (0, pw - w), (0, 0)]
+            return (np.pad(d1, pads, mode="edge"),
+                    np.pad(d2, pads, mode="edge"))
+
+        def flush(bkey):
+            entries = groups.pop(bkey)
+            ph, pw = bkey
+            run_key = (ph, pw, pack, "packed")
+            fresh = run_key not in self._compiled
+            run = self._get_packed_runner(ph, pw, pack)
+            n_pad = pack - len(entries)
+            if multidate:
+                stack = np.stack(
+                    [e["scene"] for e in entries]
+                    + [np.zeros_like(entries[0]["scene"])] * n_pad)
+                masks = self._run_guarded(
+                    run, jnp.asarray(stack, self.dtype))
+            else:
+                s1 = np.stack(
+                    [e["scene"][0] for e in entries]
+                    + [np.zeros_like(entries[0]["scene"][0])] * n_pad)
+                s2 = np.stack(
+                    [e["scene"][1] for e in entries]
+                    + [np.zeros_like(entries[0]["scene"][1])] * n_pad)
+                masks = self._run_guarded(run,
+                                          jnp.asarray(s1, self.dtype),
+                                          jnp.asarray(s2, self.dtype))
+            pending.append((masks, entries, bkey, fresh))
+            while len(pending) >= max(window, 1) + 1:
+                drain()
+
+        def drain():
+            masks, entries, bkey, fresh = pending.popleft()
+            host = np.asarray(masks)
+            wall = None
+            for slot, e in enumerate(entries):
+                wall = time.perf_counter() - e["t0"]
+                results[e["idx"]] = host[slot, :e["h"], :e["w"]]
+                self._record_scene(e["sid"], (e["h"], e["w"]), bkey,
+                                   fresh and slot == 0, wall,
+                                   pipelined=True,
+                                   clip_report=e["report"], packed=pack)
+
+        for i, item in enumerate(items):
+            sid = scene_ids[i] if scene_ids else None
+            t0 = time.perf_counter()
+            report = None
+            if self.quant == "int8":
+                crops = (self._calibration_crops_multidate(item)
+                         if multidate
+                         else self._calibration_crops(*item))
+                # calibration (first scene / cadence-due) synchronizes —
+                # and invalidates compiled runners, so it must happen
+                # before this scene joins a pack; the probe's tiny sync
+                # happens before the pack's own dispatch either way
+                probe = self._int8_scene_prologue(crops)
+                report = self._int8_probe_check(probe,
+                                                self._scenes_predicted)
+            self._scenes_predicted += 1
+            h, w = dims_of(item)
+            bkey = self._bucket_dims(h, w)
+            groups.setdefault(bkey, []).append(
+                {"idx": i, "scene": pad_item(item, *bkey), "h": h,
+                 "w": w, "sid": sid, "t0": t0, "report": report})
+            if len(groups[bkey]) == pack:
+                flush(bkey)
+        for bkey in list(groups):
+            flush(bkey)
+        while pending:
+            drain()
+        return results
+
     def predict_many(self, pairs, window: int = 2,
-                     scene_ids=None) -> list[np.ndarray]:
+                     scene_ids=None, pack: int = 0) -> list[np.ndarray]:
         """Serve a sequence of ``(d1, d2)`` scene pairs with cross-scene
         pipelining: up to ``window`` scenes stay in flight, so scene
         n+1's host padding + upload + dispatch overlaps the device
@@ -779,20 +964,35 @@ class ScenePredictor:
         its own compiled runner).  ``scene_ids``: optional per-scene
         labels for the tracker records.
 
-        In int8 mode the per-scene calibration/clip probe synchronizes
-        before each dispatch, narrowing the overlap to the probe's cost;
-        exact bf16 serving pipelines fully.  The reference equivalent
-        (inference loop over validation cities, train.py:177-205) is
-        strictly sequential."""
+        ``pack``: fleet-pack N same-bucket scenes' tiles into ONE
+        device dispatch (grid mode only) — small scenes alone starve the
+        optimal tile batch (a 512² scene yields 64 p64 tiles vs the
+        measured-optimal 256), so packing restores the 8192²-class batch
+        efficiency for fleets of city-sized scenes while keeping
+        per-scene masks bit-identical to :meth:`predict` (per-tile math
+        is batch-position-independent).  Scenes group by bucket; partial
+        final packs pad with zero scenes.  int8 composes (per-scene
+        probes ride ahead of the packed dispatch).
+
+        int8 pipelines too: the per-scene clip probe dispatches ahead of
+        the scene and is checked after the scene's async dispatch, so
+        scene forwards overlap back-to-back; only a cadence-due
+        recalibration synchronizes.  The reference equivalent (inference
+        loop over validation cities, train.py:177-205) is strictly
+        sequential."""
         if self.multi_date:
             raise ValueError("predict_many serves bi-date pairs; use "
                              "predict_many_multidate for the T-date "
                              "variants")
+        if pack:
+            return self._predict_packed(list(pairs), pack, window,
+                                        scene_ids, multidate=False)
         return self._predict_pipelined(
             pairs, window,
-            sequential=lambda p, sid: self.predict(*p, scene_id=sid),
             dispatch=lambda p: self._dispatch(*p),
-            dims_of=lambda p: p[0].shape[:2], scene_ids=scene_ids)
+            dims_of=lambda p: p[0].shape[:2],
+            crops_of=lambda p: self._calibration_crops(*p),
+            scene_ids=scene_ids)
 
     def predict_multidate(self, scenes: np.ndarray,
                           scene_id: str | None = None) -> np.ndarray:
@@ -803,8 +1003,9 @@ class ScenePredictor:
                              "model (cfg.model unet_lstm/unet3d)")
         t0 = time.perf_counter()
         if self.quant == "int8":
-            self._int8_scene_prologue(
+            probe = self._int8_scene_prologue(
                 self._calibration_crops_multidate(scenes))
+            self._int8_probe_check(probe, self._scenes_predicted)
         self._scenes_predicted += 1
         key = self._runner_key(*scenes.shape[1:3])
         fresh = key not in self._compiled
@@ -830,22 +1031,26 @@ class ScenePredictor:
             run, jnp.asarray(scenes, self.dtype)), h, w
 
     def predict_many_multidate(self, stacks, window: int = 2,
-                               scene_ids=None) -> list:
+                               scene_ids=None, pack: int = 0) -> list:
         """Serve a sequence of (T, H, W, C) date stacks with cross-scene
         pipelining — the multi-date analogue of :meth:`predict_many`:
         bit-identical to ``[predict_multidate(s) for s in stacks]``, with
-        up to ``window`` scenes in flight (int8 serves sequentially
-        through the calibration/clip machinery, like predict_many)."""
+        up to ``window`` scenes in flight (int8 pipelines through the
+        async clip probe, and ``pack`` fleet-packs same-bucket stacks
+        into one dispatch, like predict_many)."""
         if not self.multi_date:
             raise ValueError("predict_many_multidate requires a "
                              "multi-date model; use predict_many for "
                              "bi-date pairs")
+        if pack:
+            return self._predict_packed(list(stacks), pack, window,
+                                        scene_ids, multidate=True)
         return self._predict_pipelined(
             stacks, window,
-            sequential=lambda s, sid: self.predict_multidate(
-                s, scene_id=sid),
             dispatch=self._dispatch_multidate,
-            dims_of=lambda s: s.shape[1:3], scene_ids=scene_ids)
+            dims_of=lambda s: s.shape[1:3],
+            crops_of=self._calibration_crops_multidate,
+            scene_ids=scene_ids)
 
     def predict_city(self, city: str) -> np.ndarray:
         from fabric_tpu.data.oscd import load_city

@@ -111,3 +111,56 @@ def test_banded_overlap_rejects_grid_mode():
     with pytest.raises(ValueError, match="grid mode"):
         make_banded_overlap_infer(lambda *a, **k: None, 16, (40, 40),
                                   overlap=0)
+
+
+def test_packed_matches_single_scene(setup):
+    """Fleet-packed runner (r4 VERDICT #1): per-scene masks bit-identical
+    to the single-scene runner, including a non-divisible scene shape
+    (edge strips) and the zero-padded dummy scene slot."""
+    from fabric_tpu.infer.device_tiling import make_packed_scene_infer
+    cfg, model, state, variables, _, _ = setup
+    shape = (40, 55)  # non-divisible by 16: right/bottom edge tiles
+    rng = np.random.RandomState(3)
+    scenes = [(rng.randn(*shape, 13).astype(np.float32),
+               rng.randn(*shape, 13).astype(np.float32))
+              for _ in range(3)]
+    single = make_scene_infer(model, 16, shape, batch_size=8,
+                              dtype=jnp.float32)
+    want = [np.asarray(single(variables, jnp.asarray(a), jnp.asarray(b)))
+            for a, b in scenes]
+
+    packed = make_packed_scene_infer(model, 16, shape, pack=4,
+                                     batch_size=8, dtype=jnp.float32)
+    s1 = np.stack([a for a, _ in scenes]
+                  + [np.zeros((*shape, 13), np.float32)])
+    s2 = np.stack([b for _, b in scenes]
+                  + [np.zeros((*shape, 13), np.float32)])
+    got = np.asarray(packed(variables, jnp.asarray(s1), jnp.asarray(s2)))
+    assert got.shape == (4, *shape)
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_packed_multidate_matches_single_scene():
+    from fabric_tpu.infer.device_tiling import (
+        make_packed_scene_infer, make_scene_infer_multidate)
+    cfg = Config(patch_size=16, dtype="float32", model="unet_lstm",
+                 model_base=8, num_dates=3)
+    model = build_model(cfg)
+    state = create_state(cfg, model,
+                         sample_shape=(cfg.patch_size, cfg.patch_size))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    shape = (32, 41)
+    rng = np.random.RandomState(4)
+    stacks = [rng.randn(3, *shape, 13).astype(np.float32)
+              for _ in range(2)]
+    single = make_scene_infer_multidate(model, 16, shape, num_dates=3,
+                                        batch_size=8, dtype=jnp.float32)
+    want = [np.asarray(single(variables, jnp.asarray(s))) for s in stacks]
+    packed = make_packed_scene_infer(model, 16, shape, pack=2,
+                                     batch_size=8, dtype=jnp.float32,
+                                     num_dates=3)
+    got = np.asarray(packed(variables, jnp.asarray(np.stack(stacks))))
+    assert got.shape == (2, *shape)
+    for i in range(2):
+        np.testing.assert_array_equal(got[i], want[i])
