@@ -190,10 +190,10 @@ def main(argv=None) -> int:
     # Unsupported combinations fail loudly instead of silently benchmarking
     # something other than what was asked (the recorded JSON drives
     # decisions — a mislabeled measurement is worse than no measurement).
-    if args.quant == "int8" and args.workload != "infer":
-        raise SystemExit("--quant int8 is a serving mode (infer workload "
-                         "only; every model family serves quantized — "
-                         "infer/quant.py + quant_multidate.py)")
+    if args.quant == "int8" and args.workload == "train":
+        raise SystemExit("--quant int8 is a serving mode (infer/fleet "
+                         "workloads only; every model family serves "
+                         "quantized — infer/quant.py + quant_multidate.py)")
     if args.band_batch != 1 and not (args.fullconv and not args.stream
                                      and args.model == "bidate"):
         raise SystemExit("--band_batch applies to the bi-date in-HBM "

@@ -26,7 +26,7 @@ def _to_host(tree: Any) -> Any:
 
 
 def save(state, directory: str, epoch: int, metadata: dict | None = None,
-         tag: str = "checkpoint") -> str:
+         tag: str = "checkpoint", keep_last: int = 0) -> str:
     """Write ``<dir>/<tag>_epoch_<N>.msgpack`` (+ ``.json`` sidecar).
 
     The metadata rides INSIDE the msgpack payload (``meta_json``), so the
@@ -34,6 +34,13 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
     mid-epoch resume) are one atomic ``os.replace`` — a crash can never
     leave step-10 weights paired with a step-5 sidecar.  The JSON sidecar
     is a human-readable mirror (and the legacy fallback for resume).
+
+    ``keep_last`` > 0 prunes this tag's older checkpoints after the save
+    (see :func:`prune`) — the reference accumulated a checkpoint per
+    improved epoch forever (/root/reference/train.py:219-222: ~53 MB
+    each to /tmp + GCS, never deleted); a 50-epoch tuned run leaves GBs
+    behind.  Files referenced by the ``latest``/``best`` pointers are
+    never deleted.  0 = keep everything.
     """
     os.makedirs(directory, exist_ok=True)
     meta = dict(metadata or {})
@@ -70,7 +77,49 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
         # best-metric saves (the loop only calls tag="checkpoint" on
         # improvement) also update the best pointer
         _write_pointer(directory, "best", path, epoch, tag)
+    if keep_last > 0:
+        prune(directory, keep_last, tag)
     return path
+
+
+def prune(directory: str, keep_last: int, tag: str) -> list[str]:
+    """Delete all but the newest ``keep_last`` checkpoints of one tag
+    (plus their metadata sidecars); returns the deleted paths.
+
+    Never deletes a file the ``latest.json``/``best.json`` pointers
+    reference — the best-metric weights survive any number of later
+    periodic saves, and a pending mid-epoch resume point (which is what
+    ``latest`` points at after a preemption save) can't be pruned out
+    from under a resume.  Order is (epoch, mtime), matching
+    :func:`latest_checkpoint`.
+    """
+    protected = set()
+    for name in ("latest", "best"):
+        p = read_pointer(directory, name)
+        if p:
+            protected.add(os.path.basename(p))
+    pat = re.compile(rf"{re.escape(tag)}_epoch_(\d+)\.msgpack$")
+    found = []
+    for name in os.listdir(directory):
+        m = pat.match(name)
+        if m:
+            path = os.path.join(directory, name)
+            found.append(((int(m.group(1)), os.path.getmtime(path)), name))
+    found.sort(key=lambda kv: kv[0])
+    deleted: list[str] = []
+    for _, name in found[:-keep_last] if keep_last else []:
+        if name in protected:
+            continue
+        epoch = int(pat.match(name).group(1))
+        path = os.path.join(directory, name)
+        os.remove(path)
+        deleted.append(path)
+        sidecar = os.path.join(
+            directory, f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+            else f"metadata_{tag}_epoch_{epoch}.json")
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
+    return deleted
 
 
 def _write_pointer(directory: str, name: str, path: str, epoch: int,

@@ -114,8 +114,19 @@ class Config:
     mesh_data: int = -1
     mesh_spatial: int = 1
     mesh_model: int = 1
-    resume: str = ""  # checkpoint path or directory to resume from ("" = fresh)
+    resume: str = ""  # checkpoint path/dir to resume from ("" = fresh);
+    # gs:// and file:// URIs are fetched locally first (fabric_tpu/store.py)
+    # Mirror checkpoints + tracker output to a remote store (gs://bucket/
+    # prefix or file:///path) after each atomic local save — primary-only,
+    # async, failure-tolerant (the reference uploaded every best checkpoint
+    # to its outputs store in-loop, train.py:225-226).  "" = local only.
+    output_store: str = ""
     checkpoint_every: int = 0  # extra step-based checkpointing (0 = best-metric only)
+    # Retention: prune all but the newest N checkpoints per tag on save
+    # (checkpoint.prune — never the ones latest.json/best.json reference).
+    # The reference accumulated one ~53 MB checkpoint per improved epoch
+    # forever (train.py:219-222).  0 = keep everything.
+    keep_last: int = 3
     # Graceful preemption: latch SIGTERM (TPU maintenance/preemption notice),
     # checkpoint mid-epoch at the next step boundary, exit cleanly with
     # status "preempted"; relaunching with resume= completes the run exactly

@@ -66,6 +66,24 @@ def fetch(uri: str, dest_dir: str) -> str:
         os.replace(tmp, local)
         log.info("download took %.1fs", time.time() - start)
         return local
+    if uri.startswith("gs://"):
+        # GCS dataset source (the reference pulled its tarball from a
+        # GCS data store, utils/helpers.py:261-286) — gsutil/gcloud
+        # subprocess via the store machinery, cached like http
+        name = os.path.basename(uri.rstrip("/")) or "dataset.tar.gz"
+        local = os.path.join(dest_dir, name)
+        if os.path.exists(local):
+            log.info("using cached download %s", local)
+            return local
+        from fabric_tpu.store import ArtifactStore
+        base, rel = uri.rsplit("/", 1)
+        log.info("downloading %s", uri)
+        start = time.time()
+        tmp = local + ".part"
+        ArtifactStore(base, blocking=True).download(rel, tmp)
+        os.replace(tmp, local)
+        log.info("download took %.1fs", time.time() - start)
+        return local
     raise FileNotFoundError(f"dataset source not found: {uri}")
 
 

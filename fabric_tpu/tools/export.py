@@ -200,6 +200,20 @@ def main(argv=None) -> int:
         aot_meta = export_aot(pred, args.aot_dir, shapes,
                               platforms=tuple(args.aot_platform or ["tpu"]))
         meta = dict(meta, aot=aot_meta)
+    if cfg.output_store:
+        # mirror the serving artifacts remotely (fabric_tpu/store.py) —
+        # the deployment analogue of the reference's outputs-store
+        # uploads (train.py:225-226); blocking so the CLI exits complete
+        import os
+        from fabric_tpu.store import ArtifactStore
+        store = ArtifactStore(cfg.output_store, blocking=True)
+        store.upload(args.out, os.path.join(
+            "bundles", os.path.basename(args.out)))
+        if args.aot_dir:
+            store.upload_dir(args.aot_dir, rel=os.path.join(
+                "bundles", os.path.basename(os.path.normpath(
+                    args.aot_dir))))
+        meta = dict(meta, output_store=cfg.output_store)
     print(json.dumps(meta))
     return 0
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 
 import numpy as np
@@ -327,6 +328,13 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     model = build_model(cfg)
     loss_fn = get_loss_fn(cfg)
     state = create_state(cfg, model, variables=init_variables)
+    if cfg.resume and cfg.resume.startswith(("gs://", "file://")):
+        # remote resume target: materialize it locally first (per-process
+        # cache — every process restores, only the primary writes)
+        from fabric_tpu.store import fetch_resume
+        cfg.resume = fetch_resume(
+            cfg.resume, os.path.join(cfg.weight_dir, ".resume_cache",
+                                     f"p{pidx}"))
     state, resumed_epoch, resumed_meta = ckpt.resume_if_requested(cfg, state)
     if resumed_epoch >= 0:
         log.info("resumed from epoch %d (step %d)", resumed_epoch, state.step)
@@ -365,6 +373,18 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     if cfg.profile_dir and primary:
         profiler = _ProfileCapture(cfg.profile_dir, cfg.profile_steps)
 
+    # Remote artifact egress (fabric_tpu/store.py): mirror each atomic
+    # local checkpoint save (and, at exit, the tracker directory) to
+    # cfg.output_store — primary-only, async, failure-tolerant.  The
+    # reference uploaded every best checkpoint in-loop and synchronously
+    # (train.py:225-226).
+    store = None
+    if cfg.output_store and primary:
+        from fabric_tpu.store import open_store
+        store = open_store(cfg.output_store)
+        log.info("mirroring checkpoints + tracker output to %s",
+                 cfg.output_store)
+
     from fabric_tpu.train.preemption import PreemptionGuard, TrainingPreempted
     guard, owned_guard = preemption_guard, False
     if guard is None and getattr(cfg, "handle_preemption", True):
@@ -379,7 +399,7 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
             cfg, state, data, train_md, val_md, shardings, mesh, tracker,
             train_step, eval_step, infer_step, prob_step, best, history,
             start_epoch, resume_skip, resume_rows, profiler, guard,
-            run_scene_inference, pidx, pcount, multi_date)
+            run_scene_inference, pidx, pcount, multi_date, store)
     except TrainingPreempted as e:
         # the preemption checkpoint is already on disk (primary); report a
         # clean, resumable exit instead of propagating the unwind
@@ -387,6 +407,7 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
         history["status"] = "preempted"
         log.warning("training preempted: resume with resume=%s to complete "
                     "the run exactly", cfg.weight_dir)
+        _store_epilogue(store, tracker)
         return (e.state if e.state is not None else state), history
     finally:
         if owned_guard:
@@ -394,13 +415,30 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
 
     tracker.set_status("complete")
     history["status"] = "complete"
+    _store_epilogue(store, tracker)
     return state, history
+
+
+def _store_epilogue(store, tracker) -> None:
+    """End-of-run artifact egress: mirror the tracker directory (metrics
+    stream, figures, status) and wait for queued checkpoint uploads —
+    bounded, so a wedged remote cannot hang process exit."""
+    if store is None:
+        return
+    tdir = getattr(tracker, "dir", None)
+    if tdir and os.path.isdir(tdir):
+        store.upload_dir(tdir, rel=os.path.join(
+            "tracker", os.path.basename(os.path.normpath(tdir))))
+    failed = store.flush()
+    if failed:
+        log.warning("%d artifact uploads failed this run (local copies "
+                    "are intact)", failed)
 
 
 def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
                 train_step, eval_step, infer_step, prob_step, best, history,
                 start_epoch, resume_skip, resume_rows, profiler, guard,
-                run_scene_inference, pidx, pcount, multi_date):
+                run_scene_inference, pidx, pcount, multi_date, store=None):
     """The epoch loop body of :func:`train` (split out so the preemption
     unwind path stays readable)."""
     import jax
@@ -456,9 +494,14 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
             # checkpoint we restored from is the correct resume point,
             # so just unwind.
             if primary and epoch > 0 and not resume_skip:
-                ckpt.save(state, cfg.weight_dir, epoch - 1, tag="periodic",
-                          metadata={"periodic": True, "batches_done": 0,
-                                    "best_metrics": dict(best)})
+                p = ckpt.save(state, cfg.weight_dir, epoch - 1,
+                              tag="periodic",
+                              metadata={"periodic": True,
+                                        "batches_done": 0,
+                                        "best_metrics": dict(best)},
+                              keep_last=cfg.keep_last)
+                if store is not None:
+                    store.upload_checkpoint(cfg.weight_dir, p)
             raise TrainingPreempted(state)
         t0 = time.time()
         train_acc, val_acc = MetricAccumulator(), MetricAccumulator()
@@ -518,11 +561,14 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
                             f"epoch {_epoch} (loss={losses[bad]}); caught at "
                             f"the periodic-checkpoint sync — the last finite "
                             f"periodic checkpoint is preserved")
-                    ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
-                              metadata={"periodic": True,
-                                        "batches_done": len(_rows),
-                                        "train_rows": host_rows,
-                                        "best_metrics": dict(best)})
+                    p = ckpt.save(s, cfg.weight_dir, _epoch, tag="periodic",
+                                  metadata={"periodic": True,
+                                            "batches_done": len(_rows),
+                                            "train_rows": host_rows,
+                                            "best_metrics": dict(best)},
+                                  keep_last=cfg.keep_last)
+                    if store is not None:
+                        store.upload_checkpoint(cfg.weight_dir, p)
                     if preempt:
                         raise TrainingPreempted(s)
             callbacks.append(_periodic)
@@ -627,7 +673,10 @@ def _run_epochs(cfg, state, data, train_md, val_md, shardings, mesh, tracker,
             if primary:
                 meta = dict(cfg.to_dict())
                 meta["validation_metrics"] = mean_val
-                ckpt.save(state, cfg.weight_dir, epoch, metadata=meta)
+                p = ckpt.save(state, cfg.weight_dir, epoch, metadata=meta,
+                              keep_last=cfg.keep_last)
+                if store is not None:
+                    store.upload_checkpoint(cfg.weight_dir, p)
             best = {k: mean_val[k] for k in best}
             log.info("epoch %d: new best, checkpointed", epoch)
 

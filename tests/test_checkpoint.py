@@ -184,3 +184,66 @@ def test_legacy_torn_sidecar_is_ignored(tmp_path, caplog):
                    "epoch": 2}, fout)
     _, _, meta = ckpt.resume_if_requested(cfgr, create_state(cfgr, model))
     assert meta["batches_done"] == 10
+
+
+def test_keep_last_prunes_old_checkpoints(tmp_path):
+    """Retention (r4 VERDICT #5): keep_last bounds per-tag accumulation;
+    pointer-referenced files survive."""
+    import os
+    cfg = _small_cfg(tmp_path, model_base=8)
+    state = create_state(cfg, build_model(cfg))
+    for epoch in range(6):
+        ckpt.save(state, str(tmp_path), epoch, tag="periodic",
+                  metadata={"periodic": True, "batches_done": 0},
+                  keep_last=2)
+    names = sorted(os.listdir(str(tmp_path)))
+    kept = [n for n in names if n.startswith("periodic_epoch_")
+            and n.endswith(".msgpack")]
+    assert kept == ["periodic_epoch_4.msgpack", "periodic_epoch_5.msgpack"]
+    # sidecars pruned alongside
+    sidecars = [n for n in names if n.startswith("metadata_periodic_")]
+    assert sidecars == ["metadata_periodic_epoch_4.json",
+                        "metadata_periodic_epoch_5.json"]
+    # latest pointer still resolves
+    assert ckpt.read_pointer(str(tmp_path), "latest").endswith(
+        "periodic_epoch_5.msgpack")
+
+
+def test_keep_last_never_deletes_pointer_targets(tmp_path):
+    """The best-metric checkpoint survives any number of later periodic
+    saves, and resume-from-dir still lands on the protected latest."""
+    import os
+    cfg = _small_cfg(tmp_path, model_base=8)
+    state = create_state(cfg, build_model(cfg))
+    # best-metric save at epoch 0 (tag=checkpoint updates best pointer)
+    ckpt.save(state, str(tmp_path), 0, metadata={"m": 1}, keep_last=1)
+    best = ckpt.read_pointer(str(tmp_path), "best")
+    # a flood of periodic saves with keep_last=1 prunes periodics only
+    for epoch in range(1, 5):
+        ckpt.save(state, str(tmp_path), epoch, tag="periodic",
+                  metadata={"periodic": True, "batches_done": 3},
+                  keep_last=1)
+    assert os.path.exists(best)  # best never pruned
+    periodics = [n for n in os.listdir(str(tmp_path))
+                 if n.startswith("periodic_") and n.endswith(".msgpack")]
+    assert periodics == ["periodic_epoch_4.msgpack"]
+    # mid-epoch resume after pruning: the surviving latest carries its
+    # embedded metadata (batches_done) for the fast-forward
+    cfgr = _small_cfg(tmp_path, model_base=8, resume=str(tmp_path))
+    _, epoch, meta = ckpt.resume_if_requested(
+        cfgr, create_state(cfgr, build_model(cfgr)))
+    assert epoch == 4 and meta["batches_done"] == 3
+
+
+def test_prune_direct_respects_protection(tmp_path):
+    cfg = _small_cfg(tmp_path, model_base=8)
+    state = create_state(cfg, build_model(cfg))
+    for epoch in range(3):
+        ckpt.save(state, str(tmp_path), epoch)  # keep_last=0: no pruning
+    import os
+    assert len([n for n in os.listdir(str(tmp_path))
+                if n.endswith(".msgpack")]) == 3
+    deleted = ckpt.prune(str(tmp_path), keep_last=1, tag="checkpoint")
+    assert len(deleted) == 2  # epochs 0 and 1; epoch 2 (newest, pointed)
+    left = [n for n in os.listdir(str(tmp_path)) if n.endswith(".msgpack")]
+    assert left == ["checkpoint_epoch_2.msgpack"]
