@@ -24,10 +24,17 @@ shuffle=False/num_workers=0 so the sample order is exactly the
 ``get_train_val_metadata`` order — which this driver dumps so the JAX side
 can consume the identical order.
 
-Usage: python ref_loop_driver.py <config.json> <out_dir>
-  config.json: full metadata.json-style reference config
-  out_dir:     working dir; receives metadata.json (the reference parser
-               reads it from cwd, utils/parser.py:5) and all dumps.
+Usage: python ref_loop_driver.py <config.json> <out_dir> [reference_dir]
+  config.json:   full metadata.json-style reference config
+  out_dir:       working dir; receives metadata.json (the reference parser
+                 reads it from cwd, utils/parser.py:5) and all dumps.
+  reference_dir: the reference checkout (default /root/reference).
+
+Dataset ingestion: a REAL rasterio install is used untouched when present
+(real OSCD GeoTIFFs); otherwise the stub loads a ``.npy`` sibling of each
+band path (the synthetic fixture layout) and falls back to ``tifffile``
+for real ``.tif`` files — so ``tools/oscd_parity.py`` drives actual OSCD
+data in rasterio-less environments too.
 
 Run with PYTHONHASHSEED set (train_cities order goes through a python set,
 dataloaders.py:53) and MPLBACKEND=Agg.
@@ -91,13 +98,21 @@ class _PolyaxonExperiment:
 
 
 class _RasterioReader:
-    """rasterio.open lookalike over the synthetic .npy band files."""
+    """rasterio.open lookalike: .npy sibling (synthetic fixture) or a
+    tifffile-decoded real GeoTIFF (rasterio-less real-OSCD runs)."""
 
     def __init__(self, path):
         # opened either with the glob hit itself (.npy) or with a
         # reconstructed prefix+band+'.tif' name (dataloaders.py:94-106)
         base = path[:-4] if path.endswith((".tif", ".npy")) else path
-        self._arr = np.load(base + ".npy")
+        if os.path.exists(base + ".npy"):
+            self._arr = np.load(base + ".npy")
+        else:
+            import tifffile
+            arr = np.asarray(tifffile.imread(path))
+            if arr.ndim == 3:  # plane-first singleton, as rasterio reads
+                arr = arr[0] if arr.shape[0] == 1 else arr[..., 0]
+            self._arr = arr
 
     def read(self):
         return self._arr[None]
@@ -161,9 +176,13 @@ def _install_stubs():
     sys.modules["polystores.stores"] = pss
     sys.modules["polystores.stores.manager"] = psm
 
-    rio = types.ModuleType("rasterio")
-    rio.open = _RasterioReader
-    sys.modules["rasterio"] = rio
+    # a real rasterio install is used untouched (real OSCD GeoTIFFs);
+    # without one, the stub serves .npy fixtures / tifffile-decoded .tifs
+    import importlib.util
+    if importlib.util.find_spec("rasterio") is None:
+        rio = types.ModuleType("rasterio")
+        rio.open = _RasterioReader
+        sys.modules["rasterio"] = rio
 
     from sklearn.feature_extraction import image as sk_image
     if not hasattr(sk_image, "extract_patches"):
@@ -171,8 +190,10 @@ def _install_stubs():
 
 
 def main():
-    global OUT_DIR
+    global OUT_DIR, REFERENCE
     cfg_path, OUT_DIR = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 3:
+        REFERENCE = sys.argv[3]
     os.makedirs(OUT_DIR, exist_ok=True)
     shutil.copyfile(cfg_path, os.path.join(OUT_DIR, "metadata.json"))
 

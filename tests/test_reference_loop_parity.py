@@ -2,7 +2,8 @@
 
 The last rung of the parity ladder (model logits -> losses -> 1-step ->
 5-step -> THIS): run /root/reference/train.py end-to-end offline via
-tests/ref_loop_driver.py (comet/polyaxon/rasterio stubbed, loader shuffles
+fabric_tpu/tools/ref_loop_driver.py (comet/polyaxon/rasterio stubbed,
+loader shuffles
 disabled for a shared deterministic sample order), then run our
 ``fabric_tpu.train.loop.train(compat_reference=True)`` from the same torch
 initialization on the same synthetic OSCD-layout dataset, and assert:
@@ -116,7 +117,8 @@ def parity_run(tmp_path_factory):
     env = dict(os.environ, PYTHONHASHSEED="0", MPLBACKEND="Agg")
     env.pop("PYTHONPATH", None)  # the driver must not see our jax conftest
     proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "ref_loop_driver.py"),
+        [sys.executable, os.path.join(HERE, "..", "fabric_tpu", "tools",
+                                      "ref_loop_driver.py"),
          cfg_path, out_dir],
         capture_output=True, text=True, timeout=900, env=env)
     assert proc.returncode == 0, (
