@@ -427,6 +427,37 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"train sidecar skipped: {e!r}", file=sys.stderr)
 
+    # sidecar 3: fleet-packed small-scene serving (512², pack 4 — the
+    # reference's real many-small-scenes workload, r5; full sweep via
+    # --workload fleet) so the headline JSON records the small-scene
+    # figure alongside the big-scene one
+    fleet_mpx = None
+    if (args.mode == "device" and args.quant == "none" and args.fold_bn
+            and not args.shard_scene and not args.band_rows
+            and not args.fullconv and not args.overlap
+            and not args.skip_sidecars):
+        try:
+            from fabric_tpu.infer.device_tiling import (
+                make_packed_scene_infer)
+            fsize, fpack = 512, 4
+            fs1 = jax.random.normal(jax.random.PRNGKey(2),
+                                    (fpack, fsize, fsize, 13), dt)
+            fs2 = jax.random.normal(jax.random.PRNGKey(3),
+                                    (fpack, fsize, fsize, 13), dt)
+            frun = make_packed_scene_infer(model, args.patch,
+                                           (fsize, fsize), fpack,
+                                           batch_size=args.batch, dtype=dt)
+            sync(frun(variables, fs1, fs2))
+            fiters = max(args.iters, 20)
+            t0 = time.time()
+            for _ in range(fiters):
+                fm = frun(variables, fs1, fs2)
+            sync(fm)
+            fleet_mpx = fpack * fsize * fsize / (
+                (time.time() - t0) / fiters) / 1e6
+        except Exception as e:  # noqa: BLE001
+            print(f"fleet sidecar skipped: {e!r}", file=sys.stderr)
+
     n_chips = 1  # bench runs single-chip; the mesh path scales over ICI
     fpp = flops_per_pixel()
     mfu = mpx_per_sec * 1e6 * fpp / (V5E_BF16_PEAK_TFLOPS * 1e12)
@@ -460,6 +491,11 @@ def main(argv=None) -> int:
                                        if train_eps else None),
             "train_config": (f"patch 96 / batch 128 / tversky+SGD / "
                              f"{args.dtype}" if train_eps else None),
+            "fleet_packed_512_mpx_per_sec": (round(fleet_mpx, 3)
+                                             if fleet_mpx else None),
+            "fleet_note": ("512² scenes, pack 4 (one batch-256 dispatch) "
+                           "— the small-scene fleet workload; sweep via "
+                           "--workload fleet" if fleet_mpx else None),
             "baseline_note": "vs_baseline divides by an ANALYTICAL "
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "

@@ -126,3 +126,24 @@ def test_infer_cli_from_bundle(env, tmp_path):
     assert rc == 0
     mask = read_png_gray(os.path.join(out_dir, "alpha_mask.png"))
     assert mask.shape == (97, 113)
+
+
+def test_infer_cli_packed_fleet(env, tmp_path):
+    """--pack serves the requested cities through the fleet-packed
+    ScenePredictor path with masks bit-identical to the same predictor's
+    per-scene serving (the pack guarantee; the slow reference-shaped CLI
+    path serves unfolded BN so it is compared loosely, like the int8
+    test)."""
+    from fabric_tpu.cli.infer import main
+    from fabric_tpu.infer.service import ScenePredictor
+    from fabric_tpu.utils.image import read_png_gray
+    out_dir = str(tmp_path / "packed")
+    rc = main(["--dataset_dir", env.dataset_dir, "--resume", env.weight_dir,
+               "--patch_size", "16", "--dtype", "float32",
+               "--city", "alpha", "--city", "beta",
+               "--output_dir", out_dir, "--pack", "2"])
+    assert rc == 0
+    pred = ScenePredictor(env, checkpoint=env.weight_dir)
+    for city in ("alpha", "beta"):
+        got = read_png_gray(os.path.join(out_dir, f"{city}_mask.png"))
+        np.testing.assert_array_equal(got, pred.predict_city(city) * 255)
