@@ -25,9 +25,12 @@ scales are frozen at export: ``export_runners`` rejects predictors that
 would still recalibrate, and the serving side seeds its scales from the
 meta so the clip probe and fallback buckets stay consistent).  Scope: the
 pure-jit serving modes (grid / overlap / banded overlap / in-HBM
-fullconv, incl. int8).  Host-streamed and mesh-sharded modes stay
-in-process — their runners do host work per band that has no StableHLO
-form.
+fullconv, incl. int8), plus the fleet-packed grid runners
+(``export_aot(..., packs=[N])`` freezes ``runner_HxW_packN.jaxexp``
+artifacts served by ``predict_many(pack=N)``; missing bucket x pack
+combos fall back to in-process jit with a warning).  Host-streamed and
+mesh-sharded modes stay in-process — their runners do host work per band
+that has no StableHLO form.
 
 The reference has no deployment artifact at all (it pickles the live torch
 module mid-training, /root/reference/train.py:222).
@@ -46,7 +49,9 @@ log = logging.getLogger("fabric_tpu")
 _META = "aot_meta.json"
 
 
-def _runner_name(h: int, w: int) -> str:
+def _runner_name(h: int, w: int, pack: int = 0) -> str:
+    if pack:
+        return f"runner_{h}x{w}_pack{pack}.jaxexp"
     return f"runner_{h}x{w}.jaxexp"
 
 
@@ -78,6 +83,32 @@ def export_scene_runner(run, variables, scene_shape, n_channels: int,
     return exported.serialize()
 
 
+def export_packed_runner(run, variables, scene_shape, pack: int,
+                         n_channels: int, dtype, platforms=("tpu",),
+                         num_dates: int = 0) -> bytes:
+    """Serialize one fleet-packed runner (device_tiling.
+    make_packed_scene_infer): ``(variables, (pack, H, W, C) x2) ->
+    (pack, H, W)`` masks, or the ``(variables, (pack, T, H, W, C))``
+    multi-date signature."""
+    import jax
+    from jax import export as jexport
+
+    h, w = scene_shape
+    if not hasattr(run, "lower"):
+        run = jax.jit(run)
+    var_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        variables)
+    if num_dates:
+        args = (var_spec, jax.ShapeDtypeStruct(
+            (pack, num_dates, h, w, n_channels), dtype))
+    else:
+        scenes = jax.ShapeDtypeStruct((pack, h, w, n_channels), dtype)
+        args = (var_spec, scenes, scenes)
+    exported = jexport.export(run, platforms=list(platforms))(*args)
+    return exported.serialize()
+
+
 def load_serialized_runner(data: bytes):
     """bytes -> a ``(variables, *scenes) -> mask`` callable."""
     from jax import export as jexport
@@ -90,35 +121,47 @@ def load_serialized_runner(data: bytes):
 
 
 def save_aot(directory: str, runners: dict, meta: dict) -> None:
-    """Write ``runner_HxW.jaxexp`` files + a meta sidecar."""
+    """Write ``runner_HxW[_packP].jaxexp`` files + a meta sidecar.
+    Keys are ``(h, w)`` single-scene buckets or ``(h, w, pack)``
+    fleet-packed buckets."""
     os.makedirs(directory, exist_ok=True)
-    for (h, w), blob in runners.items():
-        path = os.path.join(directory, _runner_name(h, w))
+    for key, blob in runners.items():
+        path = os.path.join(directory, _runner_name(*key))
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
     meta = dict(meta)
-    meta["shapes"] = sorted([list(k) for k in runners])
+    meta["shapes"] = sorted([list(k) for k in runners if len(k) == 2])
+    packed = sorted([list(k) for k in runners if len(k) == 3])
+    if packed:
+        meta["packed_shapes"] = packed
     with open(os.path.join(directory, _META), "w") as f:
         json.dump(meta, f, indent=1)
 
 
-def load_aot(directory: str, h: int, w: int):
-    """Load the artifact for bucket (h, w); None when absent."""
-    path = os.path.join(directory, _runner_name(h, w))
+def load_aot(directory: str, h: int, w: int, pack: int = 0):
+    """Load the artifact for bucket (h, w) (``pack`` > 0: the
+    fleet-packed runner); None when absent."""
+    path = os.path.join(directory, _runner_name(h, w, pack))
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
         data = f.read()
-    log.info("serving %dx%d from AOT artifact %s", h, w, path)
+    log.info("serving %dx%d%s from AOT artifact %s", h, w,
+             f" (pack {pack})" if pack else "", path)
     return load_serialized_runner(data)
 
 
-def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
+def export_runners(predictor, scene_shapes, platforms=("tpu",),
+                   packs=()) -> dict:
     """Export a predictor's runner for each scene shape (pre-bucket dims;
     artifacts are keyed by the padded bucket dims, exactly as the
-    predictor will look them up).  Returns {(H, W): bytes}."""
+    predictor will look them up).  ``packs``: additionally export
+    fleet-packed runners (``predict_many(pack=N)``,
+    device_tiling.make_packed_scene_infer) for each pack count, per
+    bucket — grid serving mode only.  Returns {(H, W): bytes} plus
+    {(H, W, pack): bytes} entries for the packed runners."""
     if predictor.fullconv_stream or predictor.shard_scene \
             or predictor.mesh is not None:
         raise ValueError(
@@ -140,6 +183,12 @@ def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
                 "int8 AOT artifacts pin the calibration scales at export "
                 "time; recalibrate_every > 0 would silently diverge from "
                 "them — export from a predictor with recalibrate_every=0")
+    if packs and predictor.serving_mode() != "grid":
+        raise ValueError(
+            "packs= exports fleet-packed runners, which serve the grid "
+            f"tiling mode only (this predictor is configured for "
+            f"{predictor.serving_mode()!r})")
+    num_dates = predictor.cfg.num_dates if predictor.multi_date else 0
     out = {}
     for h, w in scene_shapes:
         ph, pw = predictor._bucket_dims(h, w)
@@ -149,15 +198,22 @@ def export_runners(predictor, scene_shapes, platforms=("tpu",)) -> dict:
         out[(ph, pw)] = export_scene_runner(
             run, predictor.variables, (ph, pw),
             predictor.cfg.n_channels, predictor.dtype, platforms,
-            num_dates=(predictor.cfg.num_dates if predictor.multi_date
-                       else 0))
+            num_dates=num_dates)
         log.info("exported %dx%d runner (%d KiB, platforms=%s)",
                  ph, pw, len(out[(ph, pw)]) // 1024, list(platforms))
+        for pack in packs:
+            run = predictor._get_packed_runner(ph, pw, pack)
+            out[(ph, pw, pack)] = export_packed_runner(
+                run, predictor.variables, (ph, pw), pack,
+                predictor.cfg.n_channels, predictor.dtype, platforms,
+                num_dates=num_dates)
+            log.info("exported %dx%d pack-%d runner (%d KiB)",
+                     ph, pw, pack, len(out[(ph, pw, pack)]) // 1024)
     return out
 
 
 def export_aot(predictor, directory: str, scene_shapes,
-               platforms=("tpu",)) -> dict:
+               platforms=("tpu",), packs=()) -> dict:
     """Export + persist a predictor's AOT serving artifact in one call:
     runners for every scene shape, plus an ``aot_meta.json`` recording the
     serving configuration the artifact was frozen from — model family,
@@ -167,7 +223,8 @@ def export_aot(predictor, directory: str, scene_shapes,
     meta dict."""
     import jax.numpy as jnp
 
-    runners = export_runners(predictor, scene_shapes, platforms)
+    runners = export_runners(predictor, scene_shapes, platforms,
+                             packs=packs)
     meta = {
         "format_version": 1,
         "model": predictor.cfg.model,

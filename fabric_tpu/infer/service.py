@@ -818,9 +818,21 @@ class ScenePredictor:
         return results
 
     def _get_packed_runner(self, ph: int, pw: int, pack: int):
-        """Compile-cached fleet runner for a (ph, pw) bucket × pack."""
+        """Compile-cached fleet runner for a (ph, pw) bucket × pack.
+        With ``aot_dir``, a matching ``runner_HxW_packP.jaxexp`` artifact
+        (export_aot(..., packs=[P])) is preferred; missing combos fall
+        back to in-process jit with a warning, like :meth:`_get_runner`."""
         key = (ph, pw, pack, "packed")
         if key not in self._compiled:
+            if getattr(self, "aot_dir", None):
+                from fabric_tpu.infer.aot import load_aot
+                loaded = load_aot(self.aot_dir, ph, pw, pack=pack)
+                if loaded is not None:
+                    self._compiled[key] = loaded
+                    return loaded
+                log.warning("no AOT artifact for bucket %dx%d pack %d in "
+                            "%s; falling back to in-process jit", ph, pw,
+                            pack, self.aot_dir)
             from fabric_tpu.infer.device_tiling import (
                 make_packed_scene_infer)
             log.info("compiling packed scene runner for %dx%d x%d",
@@ -854,10 +866,6 @@ class ScenePredictor:
         if self.mesh is not None:
             raise ValueError("pack= is a single-device fast path (mesh "
                              "tile-sharding already fills the batch)")
-        if getattr(self, "aot_dir", None):
-            raise ValueError("pack= compiles fleet runners in-process; "
-                             "AOT artifacts freeze single-scene runners "
-                             "only — serve without aot_dir to pack")
         if pack < 1:
             raise ValueError(f"pack must be >= 1, got {pack}")
 

@@ -173,6 +173,12 @@ def main(argv=None) -> int:
     ap.add_argument("--aot_bucket", type=int, default=512,
                     help="bucket size the artifact is keyed by (must "
                          "match the serving ScenePredictor's bucket=)")
+    ap.add_argument("--aot_pack", action="append", type=int, default=None,
+                    metavar="N",
+                    help="ALSO freeze fleet-packed runners for N scenes "
+                         "per dispatch (repeatable; grid mode only) — "
+                         "served by predict_many(pack=N) / cli.infer "
+                         "--pack N from the same aot_dir")
     ap.add_argument("--aot_fullconv", type=int, default=0, metavar="ROWS",
                     help="freeze the seamless-fullconv runner (band rows, "
                          "e.g. 768 bf16 / 1024 int8 — BASELINE.md optima) "
@@ -198,7 +204,8 @@ def main(argv=None) -> int:
         pred = ScenePredictor(cfg, bundle=args.out, bucket=args.aot_bucket,
                               fullconv_band_rows=args.aot_fullconv)
         aot_meta = export_aot(pred, args.aot_dir, shapes,
-                              platforms=tuple(args.aot_platform or ["tpu"]))
+                              platforms=tuple(args.aot_platform or ["tpu"]),
+                              packs=tuple(args.aot_pack or ()))
         meta = dict(meta, aot=aot_meta)
     if cfg.output_store:
         # mirror the serving artifacts remotely (fabric_tpu/store.py) —

@@ -268,6 +268,57 @@ def test_export_cli_emits_aot(cfg, tmp_path):
                                   base_fc.predict(*sfc))
 
 
+def test_packed_aot_bit_identity_and_fallback(cfg, tmp_path, caplog):
+    """export_aot(..., packs=[2]) freezes fleet-packed runners
+    (runner_HxW_pack2.jaxexp): predict_many(pack=2) from aot_dir serves
+    them with masks bit-identical to the in-process packed path; an
+    uncovered pack count falls back to in-process jit with a warning;
+    packs= is rejected for non-grid predictors."""
+    base = ScenePredictor(cfg, bucket=32)
+    export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",),
+               packs=[2])
+    assert read_meta(str(tmp_path))["packed_shapes"] == [[64, 64, 2]]
+    assert load_aot(str(tmp_path), 64, 64, pack=2) is not None
+    assert load_aot(str(tmp_path), 64, 64, pack=3) is None
+
+    pairs = [(_scene((40, 56), 20 + i), _scene((40, 56), 30 + i))
+             for i in range(3)]  # 3 scenes -> one full + one partial pack
+    served = ScenePredictor(cfg, bucket=32, aot_dir=str(tmp_path))
+    for a, b in zip(served.predict_many(pairs, pack=2),
+                    base.predict_many(pairs, pack=2)):
+        np.testing.assert_array_equal(a, b)
+
+    import logging
+    with caplog.at_level(logging.WARNING, logger="fabric_tpu"):
+        got = served.predict_many(pairs, pack=3)  # pack 3: not exported
+    assert any("falling back" in r.message for r in caplog.records)
+    for a, b in zip(got, base.predict_many(pairs, pack=3)):
+        np.testing.assert_array_equal(a, b)
+
+    fc = ScenePredictor(cfg, bucket=32, fullconv_band_rows=160)
+    with pytest.raises(ValueError, match="grid"):
+        export_runners(fc, [(40, 56)], platforms=("cpu",), packs=[2])
+
+
+def test_packed_aot_int8(cfg, tmp_path):
+    """int8 packed artifacts pin the calibration scales like the
+    single-scene ones: fleet serving from the artifact matches the
+    calibrated in-process packed masks bit-for-bit."""
+    base = ScenePredictor(cfg, bucket=32, quant="int8")
+    rng = np.random.RandomState(21)
+    base.calibrate([(rng.randn(4, 16, 16, 13).astype(np.float32),
+                     rng.randn(4, 16, 16, 13).astype(np.float32))])
+    export_aot(base, str(tmp_path), [(40, 56)], platforms=("cpu",),
+               packs=[2])
+    served = ScenePredictor(cfg, bucket=32, quant="int8",
+                            aot_dir=str(tmp_path))
+    pairs = [(_scene((40, 56), 40 + i), _scene((40, 56), 50 + i))
+             for i in range(2)]
+    for a, b in zip(served.predict_many(pairs, pack=2),
+                    base.predict_many(pairs, pack=2)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_multidate_aot_bit_identity(tmp_path):
     """Multi-date runners freeze too (export_scene_runner's num_dates
     signature): a UNetLSTM artifact serves masks bit-identical to the
