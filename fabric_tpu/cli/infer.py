@@ -68,13 +68,16 @@ def main(argv=None) -> int:
                             "load as frozen StableHLO — no tracing or "
                             "lowering at serving time; masks are "
                             "bit-identical to the in-process path")
-    extra.add_argument("--pack", type=int, default=0,
+    extra.add_argument("--pack", default=0,
+                       type=lambda s: s if s == "auto" else int(s),
                        help="fleet-pack N same-bucket scenes' tiles into "
                             "one device dispatch (grid mode; "
                             "ScenePredictor.predict_many(pack=N)) — "
                             "small city scenes alone starve the optimal "
-                            "tile batch; measured 76.0 vs 33.7 Mpx/s at "
-                            "512² on the v5e (BASELINE.md).  Masks are "
+                            "tile batch; measured 79.9 vs 33.7 Mpx/s at "
+                            "512² on the v5e (BASELINE.md).  'auto' "
+                            "picks, per bucket, the first pack that "
+                            "fills the tile batch.  Masks are "
                             "bit-identical to unpacked serving")
     extra.add_argument("--no_tracker", action="store_true",
                        help="disable the serving metrics stream (by "
@@ -123,7 +126,7 @@ def _serve(own, cfg, tracker) -> int:
     fast = (own.bundle is not None or own.quant == "int8"
             or own.overlap_band_rows > 0 or own.fullconv_band_rows > 0
             or own.fullconv_stream or own.shard_scene
-            or own.aot_dir is not None or own.pack > 0)
+            or own.aot_dir is not None or bool(own.pack))
     if fast:
         # fast serving path: ScenePredictor (BN-folded, split-concat,
         # optional int8, bucketed compile reuse, best-metric checkpoint,

@@ -866,14 +866,26 @@ class ScenePredictor:
         if self.mesh is not None:
             raise ValueError("pack= is a single-device fast path (mesh "
                              "tile-sharding already fills the batch)")
-        if pack < 1:
-            raise ValueError(f"pack must be >= 1, got {pack}")
+        if pack != "auto" and pack < 1:
+            raise ValueError(f"pack must be >= 1 or 'auto', got {pack}")
 
         from collections import deque
 
         results: list = [None] * len(items)
         groups: dict[tuple[int, int], list] = {}
+        packs: dict[tuple[int, int], int] = {}
         pending: deque = deque()
+
+        def pack_for(bkey) -> int:
+            """pack='auto': the first pack that fills the tile batch for
+            this bucket (the measured sweet spot, BASELINE.md pack-depth
+            sweep — deeper packs only add latency once the batch is
+            full)."""
+            if pack != "auto":
+                return pack
+            p = self.cfg.patch_size
+            k = -(-bkey[0] // p) * -(-bkey[1] // p)  # tiles per scene
+            return max(1, self.cfg.eval_batch_size // k)
 
         def dims_of(item):
             return item.shape[1:3] if multidate else item[0].shape[:2]
@@ -896,10 +908,11 @@ class ScenePredictor:
         def flush(bkey):
             entries = groups.pop(bkey)
             ph, pw = bkey
-            run_key = (ph, pw, pack, "packed")
+            pk = packs[bkey]
+            run_key = (ph, pw, pk, "packed")
             fresh = run_key not in self._compiled
-            run = self._get_packed_runner(ph, pw, pack)
-            n_pad = pack - len(entries)
+            run = self._get_packed_runner(ph, pw, pk)
+            n_pad = pk - len(entries)
             if multidate:
                 stack = np.stack(
                     [e["scene"] for e in entries]
@@ -930,7 +943,8 @@ class ScenePredictor:
                 self._record_scene(e["sid"], (e["h"], e["w"]), bkey,
                                    fresh and slot == 0, wall,
                                    pipelined=True,
-                                   clip_report=e["report"], packed=pack)
+                                   clip_report=e["report"],
+                                   packed=packs[bkey])
 
         for i, item in enumerate(items):
             sid = scene_ids[i] if scene_ids else None
@@ -950,10 +964,11 @@ class ScenePredictor:
             self._scenes_predicted += 1
             h, w = dims_of(item)
             bkey = self._bucket_dims(h, w)
+            packs.setdefault(bkey, pack_for(bkey))
             groups.setdefault(bkey, []).append(
                 {"idx": i, "scene": pad_item(item, *bkey), "h": h,
                  "w": w, "sid": sid, "t0": t0, "report": report})
-            if len(groups[bkey]) == pack:
+            if len(groups[bkey]) == packs[bkey]:
                 flush(bkey)
         for bkey in list(groups):
             flush(bkey)
@@ -979,8 +994,12 @@ class ScenePredictor:
         efficiency for fleets of city-sized scenes while keeping
         per-scene masks bit-identical to :meth:`predict` (per-tile math
         is batch-position-independent).  Scenes group by bucket; partial
-        final packs pad with zero scenes.  int8 composes (per-scene
-        probes ride ahead of the packed dispatch).
+        final packs pad with zero scenes.  ``pack="auto"`` picks, per
+        bucket, the first pack that fills the tile batch
+        (eval_batch_size // tiles-per-scene — the measured sweet spot;
+        deeper packs only add latency, BASELINE.md pack-depth sweep).
+        int8 composes (per-scene probes ride ahead of the packed
+        dispatch).
 
         int8 pipelines too: the per-scene clip probe dispatches ahead of
         the scene and is checked after the scene's async dispatch, so

@@ -99,6 +99,30 @@ def test_predict_many_packed_matches_sequential(predictor):
         np.testing.assert_array_equal(a, b)
 
 
+def test_predict_many_pack_auto(predictor):
+    """pack='auto' picks, PER BUCKET, the first pack that fills the tile
+    batch (eval_batch_size // tiles-per-scene): with patch 16 / batch 8,
+    the (32,32) bucket (4 tiles) packs 2 scenes per dispatch and the
+    (64,64) bucket (16 tiles) packs 1 — masks stay bit-identical to
+    per-scene serving."""
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    fresh = ScenePredictor(cfg, checkpoint=None, bucket=32)
+    rng = np.random.RandomState(14)
+    shapes = [(30, 28), (32, 32), (25, 31), (60, 40), (45, 53)]
+    pairs = [(rng.randn(*s, 13).astype(np.float32),
+              rng.randn(*s, 13).astype(np.float32)) for s in shapes]
+    seq = [predictor.predict(d1, d2) for d1, d2 in pairs]
+    auto = fresh.predict_many(pairs, pack="auto")
+    for a, b in zip(auto, seq):
+        np.testing.assert_array_equal(a, b)
+    # a fresh predictor, so the cache holds exactly the auto choices
+    packed_keys = {k for k in fresh._compiled if k[-1] == "packed"}
+    assert packed_keys == {(32, 32, 2, "packed"), (64, 64, 1, "packed")}
+    with pytest.raises(ValueError, match="auto"):
+        fresh.predict_many(pairs, pack=-1)
+
+
 def test_predict_many_packed_int8():
     cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
                  model_base=8)
