@@ -439,7 +439,8 @@ def main(argv=None) -> int:
         try:
             from fabric_tpu.infer.device_tiling import (
                 make_packed_scene_infer)
-            fsize, fpack = 512, 4
+            fsize, fpack = 512, 8  # pack 8 = headline parity (BASELINE
+            # pack-depth sweep: 76.0/79.9/80.7 at pack 4/8/16)
             fs1 = jax.random.normal(jax.random.PRNGKey(2),
                                     (fpack, fsize, fsize, 13), dt)
             fs2 = jax.random.normal(jax.random.PRNGKey(3),
@@ -493,9 +494,11 @@ def main(argv=None) -> int:
                              f"{args.dtype}" if train_eps else None),
             "fleet_packed_512_mpx_per_sec": (round(fleet_mpx, 3)
                                              if fleet_mpx else None),
-            "fleet_note": ("512² scenes, pack 4 (one batch-256 dispatch) "
-                           "— the small-scene fleet workload; sweep via "
-                           "--workload fleet" if fleet_mpx else None),
+            "fleet_note": ("512² scenes, pack 8 (two batch-256 chunks "
+                           "per dispatch) — the small-scene fleet "
+                           "workload at the measured-optimal depth; "
+                           "sweep via --workload fleet" if fleet_mpx
+                           else None),
             "baseline_note": "vs_baseline divides by an ANALYTICAL "
                              "ESTIMATE of the reference P100 rate "
                              "(2.4 Mpx/s, see docstring) — the reference "
