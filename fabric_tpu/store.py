@@ -186,10 +186,11 @@ class ArtifactStore:
         """Fetch a store subtree (blocking; raises)."""
         os.makedirs(local_dir, exist_ok=True)
         if self._tool is not None:
+            prefix = f"{self.uri}/{rel}" if rel else self.uri
             subprocess.run(
-                [*self._tool, "cp", "-r", f"{self.uri}/{rel}/*", local_dir]
+                [*self._tool, "cp", "-r", f"{prefix}/*", local_dir]
                 if self._tool[0] == "gsutil" else
-                [*self._tool, "cp", "-r", f"{self.uri}/{rel}", local_dir],
+                [*self._tool, "cp", "-r", prefix, local_dir],
                 check=True, capture_output=True, timeout=1800)
         else:
             src = os.path.join(self._local_root, rel) if rel else \
