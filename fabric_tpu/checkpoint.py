@@ -21,6 +21,17 @@ import numpy as np
 from flax import serialization
 
 
+def sidecar_name(tag: str, epoch: int) -> str:
+    """The metadata sidecar filename for one save.  Best-metric saves
+    keep the reference-mirroring name (``metadata_epoch_N.json``,
+    train.py:219-220); other tags are qualified so e.g. a mid-epoch
+    periodic save never clobbers the epoch's best-metric metadata.
+    Single source of truth — save/prune/restore here and
+    ``store.upload_checkpoint`` all derive the name from it."""
+    return (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
+            else f"metadata_{tag}_epoch_{epoch}.json")
+
+
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
@@ -61,13 +72,7 @@ def save(state, directory: str, epoch: int, metadata: dict | None = None,
         # to_bytes = to_state_dict (tuples/namedtuples -> dicts) + msgpack
         fout.write(serialization.to_bytes(payload))
     os.replace(tmp, path)
-    # best-metric saves keep the reference-mirroring sidecar name
-    # (metadata_epoch_N.json, train.py:219-220); periodic saves get a
-    # tag-qualified one so a mid-epoch save never clobbers the epoch's
-    # best-metric metadata (or vice versa)
-    sidecar = os.path.join(
-        directory, f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-        else f"metadata_{tag}_epoch_{epoch}.json")
+    sidecar = os.path.join(directory, sidecar_name(tag, epoch))
     tmp = f"{sidecar}.tmp.{os.getpid()}"
     with open(tmp, "w") as fout:
         json.dump(meta, fout, indent=2, default=float)
@@ -114,9 +119,7 @@ def prune(directory: str, keep_last: int, tag: str) -> list[str]:
         path = os.path.join(directory, name)
         os.remove(path)
         deleted.append(path)
-        sidecar = os.path.join(
-            directory, f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-            else f"metadata_{tag}_epoch_{epoch}.json")
+        sidecar = os.path.join(directory, sidecar_name(tag, epoch))
         if os.path.exists(sidecar):
             os.remove(sidecar)
     return deleted
@@ -253,9 +256,8 @@ def resume_if_requested(cfg, state):
         # legacy checkpoint: the sidecar was a separate (non-atomic) write,
         # so guard the pairing — a sidecar from a different save than the
         # weights must not drive a mid-epoch fast-forward
-        sidecar_name = (f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-                        else f"metadata_{tag}_epoch_{epoch}.json")
-        sidecar = os.path.join(os.path.dirname(path), sidecar_name)
+        sidecar = os.path.join(os.path.dirname(path),
+                               sidecar_name(tag, epoch))
         if epoch >= 0 and os.path.exists(sidecar):
             try:
                 with open(sidecar) as fin:

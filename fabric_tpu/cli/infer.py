@@ -184,21 +184,24 @@ def _serve(own, cfg, tracker) -> int:
     cities = own.city or cfg.validation_cities
     os.makedirs(own.output_dir, exist_ok=True)
     if own.pack:
-        # fleet-packed serving: load every scene up front, then pack
-        # same-bucket tiles into shared dispatches (masks bit-identical
-        # to the per-city path)
+        # fleet-packed serving: scenes stream into the packer lazily —
+        # a city loads only when its pack has room, so host memory holds
+        # the open packs + in-flight window, not the whole fleet (masks
+        # bit-identical to the per-city path)
         import numpy as np
 
         from fabric_tpu.data.oscd import load_city
         from fabric_tpu.infer.runner import scene_dims
         num_dates = cfg.num_dates if pred.multi_date else 2
-        items = []
-        for city in cities:
+
+        def _load(city):
             dims = scene_dims(cfg.dataset_dir, city, cfg)
             stacked = load_city(cfg.dataset_dir, city, cfg,
                                 out_shape=dims, num_dates=num_dates)
-            items.append(np.asarray(stacked) if pred.multi_date
-                         else (stacked[0], stacked[1]))
+            return (np.asarray(stacked) if pred.multi_date
+                    else (stacked[0], stacked[1]))
+
+        items = (_load(city) for city in cities)
         if pred.multi_date:
             masks = pred.predict_many_multidate(items, pack=own.pack,
                                                 scene_ids=list(cities))

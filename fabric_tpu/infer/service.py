@@ -546,9 +546,11 @@ class ScenePredictor:
             return "overlap"
         return "grid"
 
+    _CLIP_UNSET = object()  # "caller didn't track this scene's probe"
+
     def _record_scene(self, scene_id, dims, runner_key, compiled_new,
                       wall_s, pipelined: bool = False,
-                      clip_report: dict | None = None,
+                      clip_report=_CLIP_UNSET,
                       packed: int = 0) -> None:
         """Stream one served scene's record through the tracker (no-op
         without one): the serving-side observability the reference did
@@ -576,10 +578,14 @@ class ScenePredictor:
             # up to `packed`-1 other scenes (wall_ms covers the pack)
             rec["packed"] = packed
         if self.quant == "int8":
-            # pipelined/packed scenes pass their own probe's report so a
-            # later scene's probe can't be attributed to this record
-            report = (clip_report if clip_report is not None
-                      else self.last_clip_report)
+            # pipelined/packed scenes pass their own probe's report
+            # (None = this scene ran no probe, e.g. it (re)calibrated —
+            # no fallback, or the PREVIOUS scene's probe would be
+            # attributed to it); the synchronous path omits the arg and
+            # uses the probe that just ran
+            report = (self.last_clip_report
+                      if clip_report is ScenePredictor._CLIP_UNSET
+                      else clip_report)
             if report:
                 site = max(report, key=report.get)
                 rec["clip_worst_site"] = site
@@ -871,7 +877,12 @@ class ScenePredictor:
 
         from collections import deque
 
-        results: list = [None] * len(items)
+        # items may be a lazy iterator (cli.infer streams city loads):
+        # scenes are consumed as packs fill, so host memory holds at most
+        # the open partial pack per bucket + the in-flight window — not
+        # the whole fleet
+        results: dict[int, np.ndarray] = {}
+        n_items = 0
         groups: dict[tuple[int, int], list] = {}
         packs: dict[tuple[int, int], int] = {}
         pending: deque = deque()
@@ -947,6 +958,7 @@ class ScenePredictor:
                                    packed=packs[bkey])
 
         for i, item in enumerate(items):
+            n_items = i + 1
             sid = scene_ids[i] if scene_ids else None
             t0 = time.perf_counter()
             report = None
@@ -974,7 +986,7 @@ class ScenePredictor:
             flush(bkey)
         while pending:
             drain()
-        return results
+        return [results[i] for i in range(n_items)]
 
     def predict_many(self, pairs, window: int = 2,
                      scene_ids=None, pack: int = 0) -> list[np.ndarray]:
@@ -1012,7 +1024,7 @@ class ScenePredictor:
                              "predict_many_multidate for the T-date "
                              "variants")
         if pack:
-            return self._predict_packed(list(pairs), pack, window,
+            return self._predict_packed(pairs, pack, window,
                                         scene_ids, multidate=False)
         return self._predict_pipelined(
             pairs, window,
@@ -1070,7 +1082,7 @@ class ScenePredictor:
                              "multi-date model; use predict_many for "
                              "bi-date pairs")
         if pack:
-            return self._predict_packed(list(stacks), pack, window,
+            return self._predict_packed(stacks, pack, window,
                                         scene_ids, multidate=True)
         return self._predict_pipelined(
             stacks, window,

@@ -79,6 +79,7 @@ class ArtifactStore:
         self.blocking = blocking
         self._lock = threading.Lock()
         self._failed = 0
+        self._seq = 0
         self._queue: "object | None" = None
         self._worker: threading.Thread | None = None
 
@@ -98,7 +99,26 @@ class ArtifactStore:
             self._queue = queue.Queue()
             self._worker = threading.Thread(target=self._drain, daemon=True)
             self._worker.start()
-        self._queue.put((local_path, rel))
+        # snapshot via hardlink (same filesystem, no data copy) so the
+        # queued transfer survives the source being pruned (checkpoint
+        # retention deletes old saves that may still be in the queue) or
+        # atomically replaced (pointer files) before the worker gets to
+        # it — the snapshot pins the content as of enqueue time
+        spool = None
+        try:
+            sdir = os.path.join(
+                os.path.dirname(os.path.abspath(local_path)),
+                ".upload_spool")
+            os.makedirs(sdir, exist_ok=True)
+            with self._lock:
+                self._seq += 1
+                seq = self._seq
+            spool = os.path.join(
+                sdir, f"{seq}_{os.path.basename(local_path)}")
+            os.link(local_path, spool)
+        except OSError:
+            spool = None  # read-only dir / exotic fs: upload live path
+        self._queue.put((spool or local_path, rel, spool))
 
     def _drain(self) -> None:
         while True:
@@ -106,12 +126,20 @@ class ArtifactStore:
             if item is None:
                 self._queue.task_done()
                 return
-            self._transfer(*item)
+            src, rel, spool = item
+            self._transfer(src, rel)
+            if spool is not None:
+                try:
+                    os.unlink(spool)
+                except OSError:
+                    pass
             self._queue.task_done()
 
     def upload_dir(self, local_dir: str, rel: str = "") -> None:
         """Mirror a directory tree (each file via :meth:`upload`)."""
         for dirpath, dirnames, filenames in os.walk(local_dir):
+            if ".upload_spool" in dirnames:  # our own snapshots
+                dirnames.remove(".upload_spool")
             dirnames.sort()
             for fname in sorted(filenames):
                 p = os.path.join(dirpath, fname)
@@ -122,14 +150,13 @@ class ArtifactStore:
         """Mirror one checkpoint save: the msgpack, its metadata sidecar,
         and the latest/best pointers (checkpoint.save's full footprint)."""
         import re
+
+        from fabric_tpu.checkpoint import sidecar_name
         self.upload(path)
         m = re.search(r"([a-z]+)_epoch_(\d+)\.msgpack$", path)
         if m:
-            tag, epoch = m.group(1), m.group(2)
             sidecar = os.path.join(
-                directory,
-                f"metadata_epoch_{epoch}.json" if tag == "checkpoint"
-                else f"metadata_{tag}_epoch_{epoch}.json")
+                directory, sidecar_name(m.group(1), int(m.group(2))))
             if os.path.exists(sidecar):
                 self.upload(sidecar)
         for name in ("latest.json", "best.json"):
@@ -187,10 +214,11 @@ class ArtifactStore:
         os.makedirs(local_dir, exist_ok=True)
         if self._tool is not None:
             prefix = f"{self.uri}/{rel}" if rel else self.uri
+            # '/*' for BOTH tools: a bare 'cp -r gs://b/run1 dest' nests
+            # the source directory under dest (dest/run1/...), which
+            # breaks resume's pointer resolution against dest itself
             subprocess.run(
-                [*self._tool, "cp", "-r", f"{prefix}/*", local_dir]
-                if self._tool[0] == "gsutil" else
-                [*self._tool, "cp", "-r", prefix, local_dir],
+                [*self._tool, "cp", "-r", f"{prefix}/*", local_dir],
                 check=True, capture_output=True, timeout=1800)
         else:
             src = os.path.join(self._local_root, rel) if rel else \

@@ -114,6 +114,11 @@ def run_parity(cfg, out_dir: str, reference_dir: str = REFERENCE_DEFAULT,
         "dataset_dir": data_dir,
         "compat_reference": True, "shuffle_train": False,
         "dtype": "float32", "num_workers": 0,
+        # keep every best checkpoint: the report compares our saved
+        # epochs file-by-file against the reference's uploads, and the
+        # default keep_last=3 retention would prune older ones on runs
+        # with >3 improving epochs, reading as a spurious MISMATCH
+        "keep_last": 0,
         "weight_dir": os.path.join(out_dir, "weights"),
         "log_dir": os.path.join(out_dir, "log")})
     metadata = ([tuple(m) for m in dumps["train_metadata"]],

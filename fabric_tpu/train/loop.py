@@ -328,9 +328,10 @@ def train(cfg, dataset: dict | None = None, tracker: Tracker | None = None,
     model = build_model(cfg)
     loss_fn = get_loss_fn(cfg)
     state = create_state(cfg, model, variables=init_variables)
-    if cfg.resume and cfg.resume.startswith(("gs://", "file://")):
+    if cfg.resume:
         # remote resume target: materialize it locally first (per-process
-        # cache — every process restores, only the primary writes)
+        # cache — every process restores, only the primary writes);
+        # fetch_resume passes local paths through untouched
         from fabric_tpu.store import fetch_resume
         cfg.resume = fetch_resume(
             cfg.resume, os.path.join(cfg.weight_dir, ".resume_cache",

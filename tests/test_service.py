@@ -354,6 +354,48 @@ def test_serving_metrics_int8_clip_fields(tmp_path):
     assert recs[1]["serve_clip_worst_ratio"] > 0
 
 
+def test_fleet_recalibration_scene_has_no_stale_clip_record(tmp_path):
+    """A scene that (re)calibrates runs no clip probe; its serve record
+    must carry NO clip fields — not the PREVIOUS scene's probe (the
+    fallback-misattribution the r5 self-review caught)."""
+    import json
+
+    from fabric_tpu.track import Tracker
+
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    tracker = Tracker(str(tmp_path), run_name="serve_recal")
+    pred = ScenePredictor(cfg, bucket=32, quant="int8", tracker=tracker,
+                          recalibrate_every=2)
+    rng = np.random.RandomState(16)
+    pairs = [(rng.randn(30, 30, 13).astype(np.float32),
+              rng.randn(30, 30, 13).astype(np.float32)) for _ in range(4)]
+    pred.predict_many(pairs)
+    tracker.close()
+    recs = [json.loads(line) for line in
+            (tmp_path / "serve_recal" / "metrics.jsonl")
+            .read_text().splitlines()]
+    assert len(recs) == 4
+    # scene 0 calibrates, scene 2 re-calibrates (cadence 2): no probe ran
+    for i in (0, 2):
+        assert "serve_clip_worst_site" not in recs[i], i
+    for i in (1, 3):  # probed scenes carry their own report
+        assert recs[i]["serve_clip_worst_site"], i
+
+
+def test_predict_many_pack_lazy_iterator(predictor):
+    """predict_many(pack=) consumes a lazy iterator (cli.infer streams
+    city loads) — results keep input order and match per-scene serving."""
+    rng = np.random.RandomState(17)
+    pairs = [(rng.randn(30, 30, 13).astype(np.float32),
+              rng.randn(30, 30, 13).astype(np.float32)) for _ in range(3)]
+    seq = [predictor.predict(*p) for p in pairs]
+    got = predictor.predict_many(iter(pairs), pack=2)
+    assert len(got) == 3
+    for a, b in zip(got, seq):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_predict_many_multidate_matches_sequential():
     """Pipelined multi-date fleet serving is bit-identical to sequential
     predict_multidate calls, mixed shapes included."""

@@ -134,3 +134,59 @@ def test_gs_fetch_is_gated(tmp_path, monkeypatch):
     from fabric_tpu.data.download import fetch
     with pytest.raises(RuntimeError, match="gsutil or gcloud"):
         fetch("gs://bucket/data.tar.gz", str(tmp_path))
+
+
+def test_async_upload_survives_source_prune(tmp_path, monkeypatch):
+    """Checkpoint retention may delete an old save while its upload is
+    still queued: the enqueue-time hardlink snapshot must let the
+    transfer complete with the enqueue-time content (r5 self-review:
+    prune-vs-queue race logged a false 'local copy is intact')."""
+    import threading
+
+    import fabric_tpu.store as store_mod
+
+    gate = threading.Event()
+    orig = store_mod.ArtifactStore._transfer
+
+    def slow(self, src, rel):
+        gate.wait(10)  # hold the worker until the source is pruned
+        return orig(self, src, rel)
+
+    monkeypatch.setattr(store_mod.ArtifactStore, "_transfer", slow)
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    f = wdir / "checkpoint_epoch_0.msgpack"
+    f.write_bytes(b"payload-at-enqueue")
+    st = ArtifactStore(str(tmp_path / "remote"))
+    st.upload(str(f))
+    f.unlink()  # retention prunes before the worker gets to it
+    gate.set()
+    assert st.flush() == 0  # no failed transfers
+    dest = tmp_path / "remote" / "checkpoint_epoch_0.msgpack"
+    assert dest.read_bytes() == b"payload-at-enqueue"
+    assert not list((wdir / ".upload_spool").iterdir())  # snapshot freed
+
+
+def test_download_dir_copies_contents_not_the_directory(tmp_path,
+                                                        monkeypatch):
+    """Both GCS tools must copy the prefix CONTENTS ('prefix/*') into the
+    destination: a bare 'cp -r gs://b/run1 dest' nests dest/run1/... and
+    breaks resume's pointer resolution against dest (r5 self-review)."""
+    import fabric_tpu.store as store_mod
+
+    calls = []
+
+    def fake_run(argv, **kwargs):
+        calls.append(list(argv))
+
+    monkeypatch.setattr(store_mod.shutil, "which", lambda name: name)
+    monkeypatch.setattr(store_mod.subprocess, "run", fake_run)
+    for tool in (("gsutil",), ("gcloud", "storage")):
+        monkeypatch.setattr(store_mod, "_GS_CANDIDATES", (tool,))
+        st = ArtifactStore("gs://bucket/run42")
+        st.download_dir("", str(tmp_path / "local"))
+        st.download_dir("sub", str(tmp_path / "local2"))
+    assert calls[0][-2] == "gs://bucket/run42/*"
+    assert calls[1][-2] == "gs://bucket/run42/sub/*"
+    assert calls[2][-2] == "gs://bucket/run42/*"
+    assert calls[3][-2] == "gs://bucket/run42/sub/*"
