@@ -431,6 +431,11 @@ class ScenePredictor:
                                        model=self.cfg.model)
         self._scales = dict(scales)
         self._compiled.clear()
+        # the new scales invalidate any pending probe result: a scene
+        # served right after calibration ran NO probe, and without this
+        # the previous scene's report (vs the OLD scales) would be
+        # attributed to it by _record_scene's synchronous-path fallback
+        self.last_clip_report = None
 
     def _calibration_crops(self, d1, d2) -> tuple[np.ndarray, np.ndarray]:
         """Corner/center patch crops of a scene pair, edge-padded up to a
@@ -882,7 +887,6 @@ class ScenePredictor:
         # the open partial pack per bucket + the in-flight window — not
         # the whole fleet
         results: dict[int, np.ndarray] = {}
-        n_items = 0
         groups: dict[tuple[int, int], list] = {}
         packs: dict[tuple[int, int], int] = {}
         pending: deque = deque()
@@ -958,7 +962,6 @@ class ScenePredictor:
                                    packed=packs[bkey])
 
         for i, item in enumerate(items):
-            n_items = i + 1
             sid = scene_ids[i] if scene_ids else None
             t0 = time.perf_counter()
             report = None
@@ -986,7 +989,7 @@ class ScenePredictor:
             flush(bkey)
         while pending:
             drain()
-        return [results[i] for i in range(n_items)]
+        return [results[i] for i in range(len(results))]
 
     def predict_many(self, pairs, window: int = 2,
                      scene_ids=None, pack: int = 0) -> list[np.ndarray]:

@@ -80,6 +80,7 @@ class ArtifactStore:
         self._lock = threading.Lock()
         self._failed = 0
         self._seq = 0
+        self._swept: set[str] = set()
         self._queue: "object | None" = None
         self._worker: threading.Thread | None = None
 
@@ -103,22 +104,43 @@ class ArtifactStore:
         # queued transfer survives the source being pruned (checkpoint
         # retention deletes old saves that may still be in the queue) or
         # atomically replaced (pointer files) before the worker gets to
-        # it — the snapshot pins the content as of enqueue time
+        # it — the snapshot pins the content as of enqueue time.  Names
+        # carry pid + instance id so a restarted run (or a second store
+        # in this process) can't collide with leftovers, and dead-pid
+        # orphans from a crashed run are swept on first touch so they
+        # don't pin pruned checkpoint payloads forever
         spool = None
         try:
-            sdir = os.path.join(
-                os.path.dirname(os.path.abspath(local_path)),
-                ".upload_spool")
-            os.makedirs(sdir, exist_ok=True)
+            sdir = self._spool_dir(local_path)
             with self._lock:
                 self._seq += 1
                 seq = self._seq
             spool = os.path.join(
-                sdir, f"{seq}_{os.path.basename(local_path)}")
+                sdir, f"{os.getpid()}_{id(self):x}_{seq}_"
+                      f"{os.path.basename(local_path)}")
             os.link(local_path, spool)
         except OSError:
             spool = None  # read-only dir / exotic fs: upload live path
         self._queue.put((spool or local_path, rel, spool))
+
+    def _spool_dir(self, local_path: str) -> str:
+        """The snapshot dir beside ``local_path`` (same filesystem, so
+        hardlinks work); on first touch, sweep orphans left by crashed or
+        preempted runs (their pid no longer exists)."""
+        sdir = os.path.join(
+            os.path.dirname(os.path.abspath(local_path)), ".upload_spool")
+        os.makedirs(sdir, exist_ok=True)
+        if sdir not in self._swept:
+            self._swept.add(sdir)
+            for name in os.listdir(sdir):
+                pid = name.split("_", 1)[0]
+                if pid.isdigit() and os.path.exists(f"/proc/{pid}"):
+                    continue  # a live process still owns this snapshot
+                try:
+                    os.unlink(os.path.join(sdir, name))
+                except OSError:
+                    pass
+        return sdir
 
     def _drain(self) -> None:
         while True:

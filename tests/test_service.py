@@ -383,6 +383,34 @@ def test_fleet_recalibration_scene_has_no_stale_clip_record(tmp_path):
         assert recs[i]["serve_clip_worst_site"], i
 
 
+def test_sync_recalibration_scene_has_no_stale_clip_record(tmp_path):
+    """Same guarantee on the SYNCHRONOUS path: calibrate() clears the
+    pending probe report, so a predict() right after a cadence
+    recalibration carries no clip fields (vs inheriting the previous
+    scene's probe against the old scales)."""
+    import json
+
+    from fabric_tpu.track import Tracker
+
+    cfg = Config(patch_size=16, eval_batch_size=8, dtype="float32",
+                 model_base=8)
+    tracker = Tracker(str(tmp_path), run_name="serve_sync_recal")
+    pred = ScenePredictor(cfg, bucket=32, quant="int8", tracker=tracker,
+                          recalibrate_every=2)
+    rng = np.random.RandomState(18)
+    for _ in range(4):
+        pred.predict(rng.randn(30, 30, 13).astype(np.float32),
+                     rng.randn(30, 30, 13).astype(np.float32))
+    tracker.close()
+    recs = [json.loads(line) for line in
+            (tmp_path / "serve_sync_recal" / "metrics.jsonl")
+            .read_text().splitlines()]
+    for i in (0, 2):  # calibration scenes ran no probe
+        assert "serve_clip_worst_site" not in recs[i], i
+    for i in (1, 3):
+        assert recs[i]["serve_clip_worst_site"], i
+
+
 def test_predict_many_pack_lazy_iterator(predictor):
     """predict_many(pack=) consumes a lazy iterator (cli.infer streams
     city loads) — results keep input order and match per-scene serving."""

@@ -190,3 +190,23 @@ def test_download_dir_copies_contents_not_the_directory(tmp_path,
     assert calls[1][-2] == "gs://bucket/run42/sub/*"
     assert calls[2][-2] == "gs://bucket/run42/*"
     assert calls[3][-2] == "gs://bucket/run42/sub/*"
+
+
+def test_spool_orphans_from_dead_runs_are_swept(tmp_path):
+    """Snapshots left by a crashed/preempted run (dead pid) are deleted
+    on first spool use so they can't pin pruned checkpoint payloads, and
+    the pid+instance naming can't collide with them."""
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    sdir = wdir / ".upload_spool"
+    sdir.mkdir()
+    orphan = sdir / "99999999_aa_1_checkpoint_epoch_0.msgpack"
+    orphan.write_bytes(b"orphan payload")  # pid 99999999 > pid_max: dead
+    f = wdir / "latest.json"
+    f.write_bytes(b"live")
+    st = ArtifactStore(str(tmp_path / "remote"))
+    st.upload(str(f))
+    assert st.flush() == 0
+    assert not orphan.exists()          # swept on first touch
+    assert list(sdir.iterdir()) == []   # own snapshot freed after transfer
+    assert (tmp_path / "remote" / "latest.json").read_bytes() == b"live"
